@@ -1,0 +1,373 @@
+"""Configuration system for EMSANet-TPU.
+
+Replaces the reference's ~150-flag argparse CLI (``emsanet/args.py``) with
+typed dataclasses plus the same post-parse normalization/validation rules:
+
+- panoptic requires both semantic and instance tasks (args.py:1329-1336),
+- orientation requires instance (args.py:1324-1327),
+- learning rate is scaled proportionally to batch size / 8 (args.py:1338-1344),
+- default task weighting depends on the enabled task set (args.py:1346-1348),
+- raw depth is forced for cityscapes/hypersim/scannet (args.py:1374-1380),
+- multiscale supervision is disabled for MLP decoders (args.py:1382-1398),
+- single-modality input forces encoder fusion 'none' (args.py:1317-1321).
+
+A CLI adapter (`emsanet_tpu.utils.cli`) exposes the reference flag names on
+top of these dataclasses so entry points mirror ``main.py`` usage.
+
+All defaults below mirror the reference defaults (cited per-field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+KNOWN_TASKS = ("semantic", "instance", "orientation", "scene", "normal")
+KNOWN_BACKBONES = (
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "resnet18se",
+    "resnet34se",
+)
+KNOWN_BLOCKS = ("basicblock", "bottleneck", "nonbottleneck1d")
+KNOWN_CONTEXT_MODULES = ("ppm", "appm", "ppm-1-2-4-8", "appm-1-2-4-8", "none")
+KNOWN_ENCODER_FUSIONS = (
+    "se-add-uni-rgb",
+    "se-add-uni-depth",
+    "add-uni-rgb",
+    "add-uni-depth",
+    "none",
+)
+KNOWN_ENCODER_DECODER_FUSIONS = ("add-rgb", "add-depth", "add-rgbd", "none")
+KNOWN_UPSAMPLINGS = ("learned-3x3-zeropad", "learned-3x3", "bilinear", "nearest")
+KNOWN_DECODERS = ("emsanet", "segformermlp")
+KNOWN_ACTIVATIONS = ("relu", "swish", "silu")
+KNOWN_NORMALIZATIONS = ("batchnorm", "layernorm", "groupnorm")
+KNOWN_OPTIMIZERS = ("sgd", "adam", "adamw", "radam")
+KNOWN_LR_SCHEDULERS = ("onecycle",)
+KNOWN_CLASS_WEIGHTINGS = ("median-frequency", "logarithmic", "linear", "none")
+KNOWN_INSTANCE_CENTER_LOSSES = ("mse", "bce")
+KNOWN_DATASETS = (
+    "nyuv2",
+    "sunrgbd",
+    "hypersim",
+    "scannet",
+    "cityscapes",
+    "coco",
+    "scenenetrgbd",
+    "synthetic",  # in-memory dataset for tests/benchmarks (no reference analog)
+)
+
+
+@dataclass
+class ModelConfig:
+    """Model topology. Defaults = EMSANet-R34-NBt1D (reference args.py)."""
+
+    # tasks / modalities (args.py:64, :94)
+    tasks: Tuple[str, ...] = ("semantic",)
+    input_modalities: Tuple[str, ...] = ("rgb", "depth")
+    enable_panoptic: bool = False
+
+    # input resolution (args.py:80, :86)
+    input_height: int = 480
+    input_width: int = 640
+
+    # global knobs (args.py:111, :121, :128, :334 dropout)
+    activation: str = "relu"
+    dropout_p: float = 0.1
+
+    # encoders (args.py:155, :162, :188, :195, :221, :228)
+    rgb_encoder_backbone: str = "resnet34"
+    rgb_encoder_backbone_block: str = "nonbottleneck1d"
+    depth_encoder_backbone: str = "resnet34"
+    depth_encoder_backbone_block: str = "nonbottleneck1d"
+    rgbd_encoder_backbone: str = "resnet34"
+    rgbd_encoder_backbone_block: str = "nonbottleneck1d"
+    encoder_normalization: str = "batchnorm"
+    encoder_fusion: str = "se-add-uni-rgb"  # args.py:145
+    encoder_decoder_skip_downsamplings: Tuple[int, ...] = (4, 8, 16)  # args.py:264
+
+    # context module (args.py:247, :253)
+    context_module: str = "ppm"
+    upsampling_context_module: str = "bilinear"
+
+    # decoders — shared (args.py:292, :302, :313)
+    upsampling_prediction: str = "learned-3x3-zeropad"
+    decoder_normalization: str = "batchnorm"
+    encoder_decoder_fusion: str = "add-rgb"
+
+    # semantic decoder (args.py:320-375)
+    semantic_decoder: str = "emsanet"
+    semantic_decoder_block: str = "nonbottleneck1d"
+    semantic_decoder_block_dropout_p: float = 0.2
+    semantic_decoder_n_blocks: int = 3
+    semantic_decoder_dropout_p: float = 0.1  # only used by segformermlp
+    semantic_decoder_n_channels: Tuple[int, ...] = (512, 256, 128)
+    semantic_decoder_downsamplings: Tuple[int, ...] = (16, 8, 4)
+    semantic_decoder_upsampling: str = "learned-3x3-zeropad"
+    semantic_encoder_decoder_fusion: str = "add-rgb"  # args.py:389
+
+    # instance decoder (args.py:396-538)
+    instance_decoder: str = "emsanet"
+    instance_decoder_block: str = "nonbottleneck1d"
+    instance_decoder_block_dropout_p: float = 0.2
+    instance_decoder_n_blocks: int = 3
+    instance_decoder_dropout_p: float = 0.1
+    instance_decoder_n_channels: Tuple[int, ...] = (512, 256, 128)
+    instance_decoder_downsamplings: Tuple[int, ...] = (16, 8, 4)
+    instance_decoder_upsampling: str = "learned-3x3-zeropad"
+    instance_encoder_decoder_fusion: str = "add-rgb"
+    instance_center_sigma: int = 8  # args.py:461
+    instance_center_heatmap_threshold: float = 0.1  # args.py:471
+    instance_center_heatmap_nms_kernel_size: int = 17  # args.py:480
+    instance_center_heatmap_apply_foreground_mask: bool = False  # args.py:489
+    instance_center_heatmap_top_k: int = 64  # args.py:501
+    instance_center_encoding: str = "sigmoid"  # args.py:509
+    instance_offset_encoding: str = "tanh"  # args.py:519
+    instance_offset_distance_threshold: Optional[int] = None  # args.py:530
+
+    # normal decoder (args.py:546-608)
+    normal_decoder: str = "emsanet"
+    normal_decoder_block: str = "nonbottleneck1d"
+    normal_decoder_block_dropout_p: float = 0.2
+    normal_decoder_n_blocks: int = 3
+    normal_decoder_dropout_p: float = 0.1
+    normal_decoder_n_channels: Tuple[int, ...] = (512, 256, 128)
+    normal_decoder_downsamplings: Tuple[int, ...] = (16, 8, 4)
+    normal_decoder_upsampling: str = "learned-3x3-zeropad"
+    normal_encoder_decoder_fusion: str = "add-rgb"
+
+    # initialization (args.py:632, :642)
+    he_init: Tuple[str, ...] = ("encoder-fusion",)
+    no_zero_init_decoder_residuals: bool = False
+
+    # pretrained weights
+    no_pretrained_backbone: bool = True
+    rgb_encoder_backbone_pretrained_weights_filepath: Optional[str] = None
+    depth_encoder_backbone_pretrained_weights_filepath: Optional[str] = None
+
+    # --- TPU-specific (no reference analog) ---
+    # compute dtype for conv/matmul inside the network; params stay f32
+    compute_dtype: str = "float32"  # 'bfloat16' for inference / mixed training
+
+    @property
+    def instance_normalized_offset(self) -> bool:
+        # model.py:122-132
+        return self.instance_offset_encoding in ("tanh", "relative")
+
+    @property
+    def instance_tanh_for_offset(self) -> bool:
+        return self.instance_offset_encoding == "tanh"
+
+    @property
+    def instance_sigmoid_for_center(self) -> bool:
+        return self.instance_center_encoding == "sigmoid"
+
+    @property
+    def side_output_downscales(self) -> Tuple[int, ...]:
+        """Side (multi-scale supervision) output downscales.
+
+        Each decoder module emits its side output at the scale it *receives*
+        (before its x2 upsample): module target downscales (16, 8, 4) =>
+        side outputs at (32, 16, 8). Matches the reference's `_down_{8,16,32}`
+        batch keys (visualization.py:133-141).
+        """
+        if self.semantic_decoder != "emsanet":
+            return ()
+        return tuple(2 * d for d in self.semantic_decoder_downsamplings)
+
+
+@dataclass
+class DataConfig:
+    """Dataset composition + preprocessing/augmentation parameters."""
+
+    dataset: str = "nyuv2"  # args.py:803; supports 'a[cam1,cam2]:b' syntax
+    dataset_path: Optional[str] = None
+    split: str = "train"  # args.py:822
+    validation_split: str = "valid"  # args.py:997; nyuv2/sunrgbd remap to 'test'
+    raw_depth: bool = False  # args.py:836 ('--raw-depth')
+    aug_scale_min: float = 1.0  # args.py:843
+    aug_scale_max: float = 1.4  # args.py:849
+    batch_size: int = 8  # args.py:657
+    validation_batch_size: Optional[int] = None  # defaults to 3*batch_size
+    n_workers: int = 8  # args.py:861
+    subset_train: float = 1.0  # args.py:867 (fraction or per-dataset list)
+    subset_deterministic: bool = False  # args.py:878
+    cache_dataset: bool = False
+    scannet_semantic_n_classes: int = 40  # args.py:894
+    scannet_subsample: int = 50  # args.py:887
+    hypersim_subsample: int = 1  # args.py:940
+    sunrgbd_depth_do_not_force_mm: bool = False  # args.py:903
+    sunrgbd_instances_version: str = "panopticndt"  # args.py:910
+    scene_use_indoor_domestic_labels: bool = False  # args.py:932
+    validation_scannet_benchmark_mode: bool = False  # args.py:950
+    validation_full_resolution: bool = False  # args.py:955
+    validation_input_height: Optional[int] = None  # args.py:963 (default input)
+    validation_input_width: Optional[int] = None
+    class_weighting: str = "median-frequency"  # args.py:711
+    class_weighting_c: float = 1.02  # args.py:718
+    class_weighting_logarithmic_c: float = 1.02
+    # synthetic dataset knobs (tests/bench only)
+    synthetic_n_samples: int = 16
+
+
+@dataclass
+class TrainConfig:
+    """Optimization / loop / checkpointing parameters."""
+
+    n_epochs: int = 500  # args.py:651
+    optimizer: str = "sgd"  # args.py:664
+    learning_rate: float = 0.01  # args.py:670 (scaled by batch_size/8)
+    learning_rate_scheduler: str = "onecycle"  # args.py:679
+    momentum: float = 0.9  # args.py:686
+    weight_decay: float = 1e-4  # args.py:692
+    tasks_weighting: Optional[Tuple[float, ...]] = None  # args.py:699
+    instance_weighting: Tuple[float, float] = (2.0, 1.0)  # args.py:743 (center, offset)
+    instance_center_loss: str = "mse"  # args.py:753
+    orientation_kappa: float = 1.0  # args.py:768
+    normal_loss: str = "l1"  # args.py:778
+    label_smoothing: float = 0.0  # args.py:726
+    # validation / checkpointing
+    validation_skip: float = 0.0  # args.py:1004
+    validation_force_interval: int = 20  # args.py:1014
+    checkpointing_metrics: Tuple[str, ...] = ()  # args.py:1052 e.g. ('miou', 'miou+bacc')
+    checkpointing_best_only: bool = False  # args.py:1063
+    checkpointing_skip: float = 0.0  # args.py:1069
+    resume_ckpt_interval: int = 20  # args.py:1108
+    resume_ckpt_filepath: Optional[str] = None
+    weights_filepath: Optional[str] = None
+    overfit_n_batches: int = -1  # args.py:1133
+    validation_only: bool = False
+    visualize_validation: bool = False
+    results_basepath: str = "./results"  # args.py:46
+    # rng
+    seed: int = 0
+    # --- TPU-specific ---
+    n_devices: Optional[int] = None  # data-parallel size; None = all local
+    mixed_precision: bool = False  # bf16 compute in train step
+
+
+@dataclass
+class EMSANetConfig:
+    """Top-level config bundle with reference validation rules applied."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    _validated: bool = field(default=False, repr=False, compare=False)
+
+    def validate(self) -> "EMSANetConfig":
+        m, d, t = self.model, self.data, self.train
+        if self._validated:
+            # normalization (LR scaling etc.) must only apply once
+            return self
+        self._validated = True
+
+        for task in m.tasks:
+            if task not in KNOWN_TASKS:
+                raise ValueError(f"Unknown task '{task}', known: {KNOWN_TASKS}")
+        for mod in m.input_modalities:
+            if mod not in ("rgb", "depth", "rgbd"):
+                raise ValueError(f"Unknown input modality '{mod}'")
+
+        # orientation requires instance (args.py:1324-1327)
+        if "orientation" in m.tasks and "instance" not in m.tasks:
+            raise ValueError("Task 'orientation' requires task 'instance'.")
+
+        # panoptic requires semantic + instance (args.py:1329-1336)
+        if m.enable_panoptic:
+            if "semantic" not in m.tasks or "instance" not in m.tasks:
+                raise ValueError(
+                    "Panoptic segmentation requires both 'semantic' and "
+                    "'instance' tasks."
+                )
+
+        # single modality => encoder fusion none (args.py:1317-1321)
+        if len(m.input_modalities) == 1 and m.encoder_fusion != "none":
+            m.encoder_fusion = "none"
+
+        # default task weighting (args.py:1346-1348): 1.0 per task
+        if t.tasks_weighting is None:
+            t.tasks_weighting = tuple(1.0 for _ in m.tasks)
+        if len(t.tasks_weighting) != len(m.tasks):
+            raise ValueError(
+                f"tasks_weighting has {len(t.tasks_weighting)} entries but "
+                f"{len(m.tasks)} tasks are enabled."
+            )
+
+        # LR scaling proportional to batch size / 8 (args.py:1338-1344)
+        t.learning_rate = t.learning_rate * d.batch_size / 8
+
+        # raw depth forced for some datasets (args.py:1374-1380)
+        main_dataset = d.dataset.split(":")[0].split("[")[0]
+        if main_dataset in ("cityscapes", "hypersim", "scannet"):
+            d.raw_depth = True
+
+        # valid -> test split remap for nyuv2/sunrgbd (args.py:1427-1431)
+        if main_dataset in ("nyuv2", "sunrgbd") and d.validation_split == "valid":
+            d.validation_split = "test"
+
+        # validation resolution defaults to training resolution (args.py:963+)
+        if d.validation_input_height is None:
+            d.validation_input_height = m.input_height
+        if d.validation_input_width is None:
+            d.validation_input_width = m.input_width
+        if d.validation_batch_size is None:
+            d.validation_batch_size = 3 * d.batch_size
+
+        return self
+
+    # --- (de)serialization for run reproducibility (main.py:288-315) ---
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kwargs) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kwargs)
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "EMSANetConfig":
+        def _mk(klass, dd):
+            fields = {f.name: f for f in dataclasses.fields(klass)}
+            kwargs = {}
+            for k, v in dd.items():
+                if k not in fields:
+                    raise ValueError(f"Unknown config field '{k}' for {klass.__name__}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return klass(**kwargs)
+
+        return cls(
+            model=_mk(ModelConfig, cfg.get("model", {})),
+            data=_mk(DataConfig, cfg.get("data", {})),
+            train=_mk(TrainConfig, cfg.get("train", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "EMSANetConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def default_panoptic_config(**overrides) -> EMSANetConfig:
+    """EMSANet-R34-NBt1D full multi-task config (the flagship setup).
+
+    Tasks semantic+scene+instance+orientation with panoptic merging —
+    the configuration behind the reference's headline NYUv2 numbers
+    (README.md:178, BASELINE.md).
+    """
+    model = ModelConfig(
+        tasks=("semantic", "instance", "orientation", "scene"),
+        enable_panoptic=True,
+    )
+    cfg = EMSANetConfig(model=model)
+    for key, value in overrides.items():
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], value)
+    return cfg.validate()

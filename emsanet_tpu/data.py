@@ -1,0 +1,240 @@
+"""Data pipeline: samplers, loaders, DataHelper.
+
+Reference: `emsanet/data.py:342-473` (DataHelper wrapping train/valid
+DataLoaders with mt_collate, RandomSamplerSubset, per-camera validation
+loaders, overfitting mode).
+
+TPU-first differences: workers are a thread pool feeding a double-buffered
+prefetch queue (host decode/augment overlaps device compute; the
+reference relies on torch DataLoader processes), batches are fixed-shape
+(train drops the last partial batch, validation pads it and carries a
+`_valid_mask`), and arrays are NHWC numpy ready for `jax.device_put`.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+from emsanet_tpu.datasets.base import SceneAnalysisDataset
+from emsanet_tpu.datasets.registry import get_dataset
+from emsanet_tpu.preprocessing.collate import batch_collate
+
+
+class RandomSamplerSubset:
+    """Random per-epoch subset sampler (SURVEY.md M8 'RandomSamplerSubset').
+
+    subset: fraction (0, 1] of samples drawn each epoch; deterministic =
+    same subset every epoch (args.py:867-881).
+    """
+
+    def __init__(
+        self,
+        n_samples: int,
+        subset: float = 1.0,
+        deterministic: bool = False,
+        seed: int = 0,
+    ):
+        self.n_samples = n_samples
+        self.subset = subset
+        self.deterministic = deterministic
+        self.seed = seed
+
+    def indices(self, epoch: int) -> np.ndarray:
+        n_draw = max(int(round(self.n_samples * self.subset)), 1)
+        rng_seed = self.seed if self.deterministic else self.seed + epoch
+        rng = np.random.default_rng(rng_seed)
+        perm = rng.permutation(self.n_samples)
+        return perm[:n_draw]
+
+
+def _load_one(dataset: SceneAnalysisDataset, idx: int, rng_seed: int) -> dict:
+    """Load + preprocess one sample with a deterministic per-sample rng."""
+    sample = dataset.load_raw(idx)
+    preprocessor = dataset.preprocessor
+    if preprocessor is not None:
+        sample["_rng"] = np.random.default_rng(rng_seed)
+        sample = preprocessor(sample)
+        sample.pop("_rng", None)
+    return sample
+
+
+class DataLoader:
+    """Thread-pooled, prefetching batch loader."""
+
+    def __init__(
+        self,
+        dataset: SceneAnalysisDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        n_workers: int = 4,
+        sampler: Optional[RandomSamplerSubset] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.n_workers = max(n_workers, 1)
+        self.sampler = sampler
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.sampler is not None:
+            n = max(int(round(n * self.sampler.subset)), 1)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        if self.sampler is not None:
+            return self.sampler.indices(epoch)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            return rng.permutation(len(self.dataset))
+        return np.arange(len(self.dataset))
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict]:
+        indices = self._epoch_indices(epoch)
+        n = len(indices)
+        n_batches = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+        def make_batch(b: int) -> Dict:
+            lo = b * self.batch_size
+            idxs = indices[lo : lo + self.batch_size].tolist()
+            n_real = len(idxs)
+            # pad last batch to fixed shape (validation path)
+            while len(idxs) < self.batch_size:
+                idxs.append(idxs[-1])
+            samples = [
+                _load_one(
+                    self.dataset, int(i),
+                    rng_seed=(self.seed + epoch) * 1_000_003 + int(i),
+                )
+                for i in idxs
+            ]
+            batch = batch_collate(samples)
+            batch["_valid_mask"] = np.arange(self.batch_size) < n_real
+            return batch
+
+        if self.n_workers <= 1 or n_batches <= 1:
+            for b in range(n_batches):
+                yield make_batch(b)
+            return
+
+        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
+            pending = []
+            window = self.prefetch + 1
+            for b in range(min(window, n_batches)):
+                pending.append(pool.submit(make_batch, b))
+            next_submit = min(window, n_batches)
+            for b in range(n_batches):
+                batch = pending.pop(0).result()
+                if next_submit < n_batches:
+                    pending.append(pool.submit(make_batch, next_submit))
+                    next_submit += 1
+                yield batch
+
+    def __iter__(self):
+        return self.batches(0)
+
+
+class DataHelper:
+    """Bundles train loader + per-camera validation loaders (data.py:342+)."""
+
+    def __init__(
+        self,
+        dataset_train: SceneAnalysisDataset,
+        dataset_valid: SceneAnalysisDataset,
+        batch_size: int,
+        valid_batch_size: int,
+        n_workers: int = 4,
+        subset_train: float = 1.0,
+        subset_deterministic: bool = False,
+        overfit_n_batches: int = -1,
+        seed: int = 0,
+    ):
+        self.dataset_train = dataset_train
+        self.dataset_valid = dataset_valid
+        self.overfit_n_batches = overfit_n_batches
+
+        sampler = None
+        if overfit_n_batches > 0:
+            # overfitting mode (data.py:400-436): fixed deterministic subset
+            sampler = RandomSamplerSubset(
+                len(dataset_train),
+                subset=min(
+                    overfit_n_batches * batch_size / max(len(dataset_train), 1),
+                    1.0,
+                ),
+                deterministic=True,
+                seed=seed,
+            )
+        elif subset_train < 1.0:
+            sampler = RandomSamplerSubset(
+                len(dataset_train), subset_train, subset_deterministic, seed
+            )
+
+        self.train_loader = DataLoader(
+            dataset_train,
+            batch_size=batch_size,
+            shuffle=True,
+            drop_last=True,
+            n_workers=n_workers,
+            sampler=sampler,
+            seed=seed,
+        )
+
+        # per-camera validation loaders (data.py:483-487)
+        import copy
+
+        self.valid_loaders: Dict[str, DataLoader] = {}
+        cameras = dataset_valid.cameras
+        if len(cameras) <= 1:
+            self.valid_loaders[cameras[0] if cameras else "default"] = (
+                DataLoader(
+                    dataset_valid, valid_batch_size, shuffle=False,
+                    drop_last=False, n_workers=n_workers, seed=seed,
+                )
+            )
+        else:
+            for cam in cameras:
+                ds = copy.deepcopy(dataset_valid).filter_camera(cam)
+                self.valid_loaders[cam] = DataLoader(
+                    ds, valid_batch_size, shuffle=False, drop_last=False,
+                    n_workers=n_workers, seed=seed,
+                )
+
+    def set_train_preprocessor(self, preprocessor):
+        self.dataset_train.preprocessor = preprocessor
+
+    def set_valid_preprocessor(self, preprocessor):
+        self.dataset_valid.preprocessor = preprocessor
+        for loader in self.valid_loaders.values():
+            loader.dataset.preprocessor = preprocessor
+
+
+def get_datahelper(cfg: EMSANetConfig) -> DataHelper:
+    """Factory mirroring `get_datahelper` (emsanet/data.py:476-498)."""
+    dataset_train = get_dataset(cfg.data, cfg.model, cfg.data.split)
+    dataset_valid = get_dataset(cfg.data, cfg.model, cfg.data.validation_split)
+    return DataHelper(
+        dataset_train=dataset_train,
+        dataset_valid=dataset_valid,
+        batch_size=cfg.data.batch_size,
+        valid_batch_size=cfg.data.validation_batch_size or cfg.data.batch_size,
+        n_workers=cfg.data.n_workers,
+        subset_train=float(cfg.data.subset_train),
+        subset_deterministic=cfg.data.subset_deterministic,
+        overfit_n_batches=cfg.train.overfit_n_batches,
+        seed=cfg.train.seed,
+    )

@@ -1,0 +1,198 @@
+"""On-disk dataset loader for prepared scene-analysis datasets.
+
+Loads the prepared (already converted) layout produced by the reference's
+`nicr_sa_prepare_dataset` CLI (SURVEY.md D6) or by `tools/prepare_dataset.py`
+here. The loader is directory-name flexible:
+
+    <root>/<split>/rgb/<id>.png                  HWC uint8
+    <root>/<split>/{depth,depth_raw}/<id>.png    HW uint16
+    <root>/<split>/{semantic_N,semantic,labels_N}/<id>.png
+    <root>/<split>/instance/<id>.png             HW uint16
+    <root>/<split>/orientations/<id>.json        {"<instance_id>": yaw_rad}
+    <root>/<split>/scene_class/<id>.txt          int or class name
+    <root>/<split>/normal/<id>.png               HWC uint8 ((v+1)/2*255)
+    <root>/<split>/cameras.json                  {"<id>": "<camera>"} (optional)
+
+Sample ids are derived from the rgb directory listing (sorted).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from emsanet_tpu.datasets.base import (
+    DatasetConfig,
+    SampleIdentifier,
+    SceneAnalysisDataset,
+)
+from emsanet_tpu.datasets.metadata import get_metadata_config
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        arr = np.asarray(img)
+    return arr
+
+
+class PreparedDataset(SceneAnalysisDataset):
+    def __init__(
+        self,
+        dataset_path: str,
+        dataset_name: str,
+        split: str,
+        sample_keys: Sequence[str],
+        semantic_n_classes: Optional[int] = None,
+        depth_mode: str = "refined",
+        use_cache: bool = False,
+        cameras: Optional[Sequence[str]] = None,
+        scene_use_indoor_domestic_labels: bool = False,
+    ):
+        super().__init__(sample_keys=sample_keys, use_cache=use_cache)
+        self.dataset_path = dataset_path
+        self.dataset_name = dataset_name
+        self.split = split
+        self.depth_mode = depth_mode
+        self._config = get_metadata_config(
+            dataset_name,
+            semantic_n_classes=semantic_n_classes,
+            scene_use_indoor_domestic_labels=scene_use_indoor_domestic_labels,
+        )
+
+        split_dir = os.path.join(dataset_path, split)
+        rgb_dir = os.path.join(split_dir, "rgb")
+        if not os.path.isdir(rgb_dir):
+            raise FileNotFoundError(
+                f"Prepared dataset split not found: {rgb_dir}"
+            )
+        self._split_dir = split_dir
+        self._ids: List[str] = sorted(
+            os.path.splitext(f)[0]
+            for f in os.listdir(rgb_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        self._exts: Dict[str, str] = {}
+        for f in os.listdir(rgb_dir):
+            stem, ext = os.path.splitext(f)
+            self._exts[stem] = ext
+
+        # camera assignment (SUNRGB-D kv1/kv2/realsense/xtion etc.)
+        cam_file = os.path.join(split_dir, "cameras.json")
+        if os.path.isfile(cam_file):
+            with open(cam_file) as fh:
+                self._camera_by_id = json.load(fh)
+        else:
+            self._camera_by_id = {}
+        self._all_cameras = tuple(
+            sorted(set(self._camera_by_id.values()))
+        ) or ("default",)
+        if cameras:
+            allowed = set(cameras)
+            self._ids = [
+                i for i in self._ids
+                if self._camera_by_id.get(i, "default") in allowed
+            ]
+            self._all_cameras = tuple(sorted(allowed))
+
+        def find_dir(*candidates: str) -> Optional[str]:
+            for c in candidates:
+                d = os.path.join(split_dir, c)
+                if os.path.isdir(d):
+                    return d
+            return None
+
+        n_cls = semantic_n_classes or self._config.n_semantic_classes_without_void
+        self._dirs = {
+            "rgb": rgb_dir,
+            "depth": find_dir(
+                "depth_raw" if depth_mode == "raw" else "depth",
+                "depth", "depth_raw",
+            ),
+            "semantic": find_dir(
+                f"semantic_{n_cls}", "semantic", f"labels_{n_cls}", "labels"
+            ),
+            "instance": find_dir("instance", "instances"),
+            "orientations": find_dir("orientations"),
+            "scene": find_dir("scene_class", "scene"),
+            "normal": find_dir("normal", "normals"),
+        }
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    @property
+    def config(self) -> DatasetConfig:
+        return self._config
+
+    @property
+    def cameras(self) -> Tuple[str, ...]:
+        return self._all_cameras
+
+    def filter_camera(self, camera: str) -> "PreparedDataset":
+        self._camera = camera
+        self._ids = [
+            i for i in self._ids
+            if self._camera_by_id.get(i, "default") == camera
+        ]
+        return self
+
+    def _path(self, kind: str, sample_id: str, ext: str = ".png") -> str:
+        d = self._dirs.get(kind)
+        if d is None:
+            raise FileNotFoundError(
+                f"Dataset at {self._split_dir} has no '{kind}' directory but "
+                f"sample key requires it."
+            )
+        return os.path.join(d, sample_id + ext)
+
+    def _load(self, idx: int) -> dict:
+        sid = self._ids[idx]
+        sample: dict = {}
+        if "identifier" in self.sample_keys:
+            sample["identifier"] = SampleIdentifier((self.split, sid))
+        if "rgb" in self.sample_keys:
+            rgb = _imread(self._path("rgb", sid, self._exts.get(sid, ".png")))
+            if rgb.ndim == 2:
+                rgb = np.stack([rgb] * 3, axis=-1)
+            sample["rgb"] = rgb[..., :3].astype(np.uint8)
+        if "depth" in self.sample_keys:
+            sample["depth"] = _imread(self._path("depth", sid)).astype(
+                np.float32
+            )
+        if "semantic" in self.sample_keys:
+            sample["semantic"] = _imread(self._path("semantic", sid)).astype(
+                np.int32
+            )
+        if "instance" in self.sample_keys:
+            sample["instance"] = _imread(self._path("instance", sid)).astype(
+                np.int32
+            )
+        if "orientations" in self.sample_keys:
+            try:
+                with open(self._path("orientations", sid, ".json")) as fh:
+                    sample["orientations"] = {
+                        int(k): float(v) for k, v in json.load(fh).items()
+                    }
+            except FileNotFoundError:
+                sample["orientations"] = {}
+        if "scene" in self.sample_keys:
+            try:
+                with open(self._path("scene", sid, ".txt")) as fh:
+                    content = fh.read().strip()
+                try:
+                    sample["scene"] = int(content)
+                except ValueError:
+                    sample["scene"] = self._config.scene_label_list.index(
+                        content
+                    )
+            except FileNotFoundError:
+                sample["scene"] = 0
+        if "normal" in self.sample_keys:
+            raw = _imread(self._path("normal", sid)).astype(np.float32)
+            sample["normal"] = raw / 127.5 - 1.0
+        return sample

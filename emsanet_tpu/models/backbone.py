@@ -1,0 +1,188 @@
+"""ResNet backbone family with pluggable residual blocks.
+
+Reference: `nicr_mt_scene_analysis.model.backbone.get_backbone`
+(emsanet/model.py:47-58; SURVEY.md M1): ResNet-18/34/50/101 with
+pluggable block (basicblock / bottleneck / nonbottleneck1d), SE variants,
+reduced-downsampling variants ('-d16'), and a 1-channel depth stem.
+
+Built stage-wise (stem + 4 stages as separate submodules) so the fused
+dual-modality encoder can interleave SE fusion between stages.
+NHWC layout; channels are multiples of 64 so conv GEMMs tile cleanly onto
+the 128x128 MXU at bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from emsanet_tpu.models.layers import (
+    BLOCK_CLASSES,
+    Bottleneck,
+    ConvNormAct,
+    Norm,
+    SqueezeExcitation,
+    get_activation_fn,
+    get_block_class,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneSpec:
+    """Static description of a ResNet variant."""
+
+    name: str
+    stage_blocks: Tuple[int, ...]
+    stage_features: Tuple[int, ...] = (64, 128, 256, 512)
+    bottleneck: bool = False  # True for resnet50/101 (x4 expansion)
+    se: bool = False
+    downsampling: int = 32  # final downscale; 16 for '-d16' variants
+
+    @property
+    def stage_out_features(self) -> Tuple[int, ...]:
+        mult = 4 if self.bottleneck else 1
+        return tuple(f * mult for f in self.stage_features)
+
+    @property
+    def n_channels_out(self) -> int:
+        return self.stage_out_features[-1]
+
+    def skip_features(self, downscales: Sequence[int]) -> Tuple[int, ...]:
+        """Feature count of the skip at each requested downscale."""
+        by_downscale = {4: 0, 8: 1, 16: 2, 32: 3}
+        return tuple(self.stage_out_features[by_downscale[d]] for d in downscales)
+
+
+_BASE_SPECS = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnet101": ((3, 4, 23, 3), True),
+}
+
+
+def get_backbone_spec(name: str) -> BackboneSpec:
+    """Parse backbone names like 'resnet34', 'resnet34se', 'resnet18-d16'."""
+    base = name.lower()
+    downsampling = 32
+    if base.endswith("-d16"):
+        base, downsampling = base[:-4], 16
+    se = False
+    if base.endswith("se"):
+        base, se = base[:-2], True
+    if base not in _BASE_SPECS:
+        raise ValueError(f"Unknown backbone '{name}'")
+    stage_blocks, bottleneck = _BASE_SPECS[base]
+    return BackboneSpec(
+        name=name.lower(),
+        stage_blocks=stage_blocks,
+        bottleneck=bottleneck,
+        se=se,
+        downsampling=downsampling,
+    )
+
+
+class ResNetStem(nn.Module):
+    """7x7/2 conv + norm + act + 3x3/2 maxpool -> 1/4 resolution."""
+
+    features: int = 64
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        x = Norm(self.normalization, dtype=self.dtype)(x, train=train)
+        x = get_activation_fn(self.activation)(x)
+        x = nn.max_pool(
+            x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+        return x
+
+
+class ResNetStage(nn.Module):
+    """A sequence of residual blocks; first block applies the stage stride."""
+
+    block: str
+    n_blocks: int
+    features: int
+    stride: int = 1
+    dropout_p: float = 0.0
+    se: bool = False
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        block_cls = get_block_class(self.block)
+        for i in range(self.n_blocks):
+            x = block_cls(
+                features=self.features,
+                stride=self.stride if i == 0 else 1,
+                dropout_p=self.dropout_p,
+                normalization=self.normalization,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train=train, deterministic=deterministic)
+            if self.se:
+                x = SqueezeExcitation(
+                    activation=self.activation, dtype=self.dtype,
+                    name=f"se{i}",
+                )(x)
+        return x
+
+
+def make_backbone_stages(
+    spec: BackboneSpec,
+    block: str,
+    dropout_p: float,
+    normalization: str,
+    activation: str,
+    dtype: Dtype,
+    name_prefix: str,
+):
+    """Build (stem, [stage0..stage3]) submodules for a backbone.
+
+    Stage strides: stage0 keeps 1/4, stages 1-3 halve; with downsampling=16
+    the final stage keeps its resolution (reduced-downsampling variant,
+    SURVEY.md M1 'resnet18-d16').
+    """
+    # bottleneck backbones ignore a custom block choice for stages (the
+    # reference's resnet50/101 are bottleneck-only)
+    block_name = "bottleneck" if spec.bottleneck else block
+    stem = ResNetStem(
+        normalization=normalization,
+        activation=activation,
+        dtype=dtype,
+        name=f"{name_prefix}_stem",
+    )
+    strides = [1, 2, 2, 2 if spec.downsampling == 32 else 1]
+    stages = [
+        ResNetStage(
+            block=block_name,
+            n_blocks=spec.stage_blocks[i],
+            features=spec.stage_features[i],
+            stride=strides[i],
+            dropout_p=dropout_p,
+            se=spec.se,
+            normalization=normalization,
+            activation=activation,
+            dtype=dtype,
+            name=f"{name_prefix}_stage{i}",
+        )
+        for i in range(4)
+    ]
+    return stem, stages

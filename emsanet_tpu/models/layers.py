@@ -1,0 +1,281 @@
+"""Shared layers: normalization/activation factories, SE attention, blocks.
+
+TPU-native equivalents of the reference model zoo's building blocks
+(`nicr_mt_scene_analysis.model.{block,normalization,activation}`, used via
+`emsanet/model.py:10-19`). All modules are flax.linen, NHWC layout, and take
+a `dtype` for bf16 compute with f32 params (MXU-friendly).
+
+Block structure replicated (SURVEY.md M2, doc/EMSANet-model.png legend):
+NonBottleneck1D = 3x1 conv, ReLU, 1x3 conv, BN+ReLU, 3x1 conv, ReLU,
+1x3 conv, BN + Dropout, residual add, ReLU. Factorized convs keep the
+parameter count low while XLA still maps them onto the MXU as batched
+matmuls over the contracted spatial taps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+ModuleDef = Any
+
+
+def get_activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation registry (reference `get_activation_class`, args.py:111)."""
+    name = name.lower()
+    if name == "relu":
+        return nn.relu
+    if name in ("swish", "silu"):
+        return nn.swish
+    raise ValueError(f"Unknown activation '{name}'")
+
+
+class Norm(nn.Module):
+    """Normalization wrapper (reference `get_normalization_class`).
+
+    batchnorm keeps running statistics in the `batch_stats` collection;
+    `use_running_average` is driven by the `train` argument at call sites.
+    """
+
+    kind: str = "batchnorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kind = self.kind.lower()
+        if kind == "batchnorm":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        if kind == "layernorm":
+            return nn.LayerNorm(dtype=self.dtype)(x)
+        if kind == "groupnorm":
+            return nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        raise ValueError(f"Unknown normalization '{self.kind}'")
+
+
+class ConvNormAct(nn.Module):
+    """conv -> norm -> activation, the standard fused TPU-friendly unit."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        x = Norm(self.normalization, dtype=self.dtype)(x, train=train)
+        return get_activation_fn(self.activation)(x)
+
+
+class SqueezeExcitation(nn.Module):
+    """SE channel attention (used by SE fusion and SE backbone variants).
+
+    Global average pool -> FC(C/r) -> act -> FC(C) -> sigmoid gate.
+    The pooled path is tiny; XLA fuses the gating multiply into the
+    surrounding elementwise work.
+    """
+
+    reduction: int = 16
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        squeezed = jnp.mean(x, axis=(1, 2))  # NHWC -> NC
+        hidden = max(c // self.reduction, 1)
+        s = nn.Dense(hidden, dtype=self.dtype)(squeezed)
+        s = get_activation_fn(self.activation)(s)
+        s = nn.Dense(c, dtype=self.dtype)(s)
+        gate = jax.nn.sigmoid(s)
+        return x * gate[:, None, None, :].astype(x.dtype)
+
+
+class NonBottleneck1D(nn.Module):
+    """Factorized residual block (ERFNet NBt1D), the EMSANet workhorse.
+
+    Reference behavior: `get_block_class('nonbottleneck1d')`
+    (emsanet/model.py:49-51, SURVEY.md M2). Strided variant applies the
+    stride to the first 3x1/1x3 pair and uses a 1x1-conv shortcut.
+    `zero_init_residual` zero-initializes the second BN scale so the block
+    starts as identity (emsanet/model.py:188-190).
+    """
+
+    features: int
+    stride: int = 1
+    dropout_p: float = 0.0
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    zero_init_residual: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        act = get_activation_fn(self.activation)
+        residual = x
+
+        h = nn.Conv(
+            self.features, (3, 1), strides=(self.stride, 1), padding="SAME",
+            use_bias=True, dtype=self.dtype,
+        )(x)
+        h = act(h)
+        h = nn.Conv(
+            self.features, (1, 3), strides=(1, self.stride), padding="SAME",
+            use_bias=True, dtype=self.dtype,
+        )(h)
+        h = Norm(self.normalization, dtype=self.dtype)(h, train=train)
+        h = act(h)
+
+        h = nn.Conv(
+            self.features, (3, 1), padding="SAME", use_bias=True,
+            dtype=self.dtype,
+        )(h)
+        h = act(h)
+        h = nn.Conv(
+            self.features, (1, 3), padding="SAME", use_bias=True,
+            dtype=self.dtype,
+        )(h)
+        if self.zero_init_residual and self.normalization == "batchnorm":
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                scale_init=nn.initializers.zeros,
+            )(h)
+        else:
+            h = Norm(self.normalization, dtype=self.dtype)(h, train=train)
+
+        if self.dropout_p > 0.0:
+            h = nn.Dropout(rate=self.dropout_p)(h, deterministic=deterministic)
+
+        if self.stride != 1 or residual.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(residual)
+            residual = Norm(self.normalization, dtype=self.dtype)(
+                residual, train=train
+            )
+
+        return act(h + residual)
+
+
+class BasicBlock(nn.Module):
+    """Standard ResNet basic block (3x3 + 3x3), selectable via config."""
+
+    features: int
+    stride: int = 1
+    dropout_p: float = 0.0  # unused; kept for uniform block signature
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    zero_init_residual: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        act = get_activation_fn(self.activation)
+        residual = x
+        h = ConvNormAct(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            normalization=self.normalization, activation=self.activation,
+            dtype=self.dtype,
+        )(x, train=train)
+        h = nn.Conv(
+            self.features, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype,
+        )(h)
+        h = Norm(self.normalization, dtype=self.dtype)(h, train=train)
+        if self.stride != 1 or residual.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(residual)
+            residual = Norm(self.normalization, dtype=self.dtype)(
+                residual, train=train
+            )
+        return act(h + residual)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck block (1x1 -> 3x3 -> 1x1 x4)."""
+
+    features: int  # bottleneck width; output features = 4 * features
+    stride: int = 1
+    dropout_p: float = 0.0
+    normalization: str = "batchnorm"
+    activation: str = "relu"
+    zero_init_residual: bool = False
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        act = get_activation_fn(self.activation)
+        out_features = self.features * self.expansion
+        residual = x
+        h = ConvNormAct(
+            self.features, (1, 1),
+            normalization=self.normalization, activation=self.activation,
+            dtype=self.dtype,
+        )(x, train=train)
+        h = ConvNormAct(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            normalization=self.normalization, activation=self.activation,
+            dtype=self.dtype,
+        )(h, train=train)
+        h = nn.Conv(
+            out_features, (1, 1), use_bias=False, dtype=self.dtype,
+        )(h)
+        h = Norm(self.normalization, dtype=self.dtype)(h, train=train)
+        if self.stride != 1 or residual.shape[-1] != out_features:
+            residual = nn.Conv(
+                out_features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(residual)
+            residual = Norm(self.normalization, dtype=self.dtype)(
+                residual, train=train
+            )
+        return act(h + residual)
+
+
+BLOCK_CLASSES = {
+    "nonbottleneck1d": NonBottleneck1D,
+    "basicblock": BasicBlock,
+    "bottleneck": Bottleneck,
+}
+
+
+def get_block_class(name: str) -> ModuleDef:
+    """Block registry (reference `get_block_class`, emsanet/model.py:10)."""
+    try:
+        return BLOCK_CLASSES[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"Unknown block '{name}', known: {tuple(BLOCK_CLASSES)}"
+        ) from None

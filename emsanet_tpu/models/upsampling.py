@@ -1,0 +1,108 @@
+"""Upsampling modules.
+
+Reference: `nicr_mt_scene_analysis.model.upsampling.Upsampling` /
+`get_upsampling_class` (used at emsanet/decoder.py:23, args.py:289-298).
+
+The reference default 'learned-3x3-zeropad' — nearest x2 followed by a
+depthwise 3x3 conv whose kernel is initialized to mimic bilinear
+interpolation — was chosen there for TensorRT compatibility. It is kept
+here because it is *also* the TPU-friendly choice: nearest x2 is a cheap
+reshape/broadcast and the depthwise 3x3 is a small VPU op that XLA fuses
+with neighboring elementwise work, whereas true bilinear resize lowers to
+gather-heavy code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+# nearest-x2 + this 3x3 kernel == (approximately) bilinear x2; weights sum to 1
+_BILINEAR_MIMIC_KERNEL = np.array(
+    [
+        [0.0625, 0.1250, 0.0625],
+        [0.1250, 0.2500, 0.1250],
+        [0.0625, 0.1250, 0.0625],
+    ],
+    dtype=np.float32,
+)
+
+
+def nearest_x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor x2 upsampling in NHWC via repeat (no gathers)."""
+    n, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def _bilinear_mimic_init(key, shape, dtype=jnp.float32):
+    # flax depthwise conv kernel shape: (kh, kw, in_per_group=1, features)
+    kh, kw, inpg, feats = shape
+    assert (kh, kw, inpg) == (3, 3, 1)
+    kernel = np.broadcast_to(
+        _BILINEAR_MIMIC_KERNEL[:, :, None, None], (3, 3, 1, feats)
+    )
+    return jnp.asarray(kernel, dtype)
+
+
+class Upsampling(nn.Module):
+    """x2 upsampling selectable by method.
+
+    methods: 'learned-3x3-zeropad' (default), 'learned-3x3' (edge padding),
+    'bilinear', 'nearest'.
+    """
+
+    method: str = "learned-3x3-zeropad"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        method = self.method.lower()
+        if method == "nearest":
+            return nearest_x2(x)
+        if method == "bilinear":
+            n, h, w, c = x.shape
+            return jax.image.resize(
+                x, (n, 2 * h, 2 * w, c), method="bilinear"
+            ).astype(x.dtype)
+        if method in ("learned-3x3-zeropad", "learned-3x3"):
+            up = nearest_x2(x)
+            if method == "learned-3x3":
+                up = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+                padding = "VALID"
+            else:
+                padding = "SAME"  # zero padding
+            c = x.shape[-1]
+            return nn.Conv(
+                features=c,
+                kernel_size=(3, 3),
+                padding=padding,
+                feature_group_count=c,
+                use_bias=False,
+                kernel_init=_bilinear_mimic_init,
+                dtype=self.dtype,
+                name="depthwise",
+            )(up)
+        raise ValueError(f"Unknown upsampling method '{self.method}'")
+
+
+def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear resize to an arbitrary size (context module branches)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, height, width, c), method="bilinear").astype(
+        x.dtype
+    )
+
+
+def resize_nearest(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, height, width, c), method="nearest").astype(
+        x.dtype
+    )

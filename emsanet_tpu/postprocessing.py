@@ -1,0 +1,448 @@
+"""On-device postprocessing: semantic, instance, panoptic, scene.
+
+TPU-native redesign of `nicr_mt_scene_analysis.model.postprocessing`
+(SURVEY.md M6). The reference runs instance grouping + panoptic merging
+on CPU with dynamic per-image instance counts and Python dict metadata
+("panoptic merging is done on CPU", inference_dataset.py:486). Here the
+whole chain is fixed-shape, batched, vectorized jnp inside one jit
+program:
+
+- center NMS: max-pool window trick (reduce_window) instead of the
+  reference's torch max_pool2d NMS,
+- top-k selection padded to `top_k` instances (dynamic counts become a
+  validity mask),
+- pixel-to-center grouping: the pairwise pixel/center distance is
+  expanded so its cross term is a (H*W, 2) x (2, K) matmul on the MXU,
+- panoptic merge (Panoptic-DeepLab semantics, utils.panoptic_merge
+  deeplab_merge_batch, SURVEY.md M13): majority-vote semantics per
+  instance via one-hot segment sums, panoptic_id = semantic *
+  label_divisor + instance for things, stuff passthrough, void for
+  unassigned thing pixels,
+- per-instance meta (area, semantic_idx, panoptic_score) as fixed
+  (top_k,) arrays instead of Python dicts.
+
+Output key contract follows SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LABEL_DIVISOR = 2**16  # reference label_divisor (SURVEY.md M13)
+VOID_LABEL = 0
+
+
+# ---------------------------------------------------------------------------
+# semantic
+
+
+def postprocess_semantic(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """softmax -> argmax + score (SURVEY.md M6 'Semantic').
+
+    logits: (N, H, W, C) over classes *without* void; returned idx is
+    0-based in the void-free label space (callers add 1 for the full
+    label space, matching the reference's downstream usage).
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    score = jnp.max(probs, axis=-1)
+    return {"segmentation_idx": idx, "score": score, "probs": probs}
+
+
+# ---------------------------------------------------------------------------
+# instance
+
+
+def _nms_keep_mask(heatmap: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Keep local maxima: x == maxpool_k(x), SAME padding (M6 'Instance')."""
+    pooled = jax.lax.reduce_window(
+        heatmap,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, kernel_size, kernel_size),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    return heatmap >= pooled
+
+
+def find_instance_centers(
+    center_heatmap: jnp.ndarray,
+    threshold: float = 0.1,
+    nms_kernel_size: int = 17,
+    top_k: int = 64,
+    foreground_mask: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Detect up to `top_k` instance centers per image.
+
+    center_heatmap: (N, H, W) in [0, 1].
+    Returns dict with 'yx' (N, K, 2) int32, 'scores' (N, K), 'valid' (N, K).
+    """
+    n, h, w = center_heatmap.shape
+    hm = center_heatmap
+    if foreground_mask is not None:
+        hm = jnp.where(foreground_mask, hm, 0.0)
+    keep = _nms_keep_mask(hm, nms_kernel_size)
+    hm = jnp.where(keep & (hm > threshold), hm, 0.0)
+
+    flat = hm.reshape(n, h * w)
+    scores, flat_idx = jax.lax.top_k(flat, top_k)
+    valid = scores > 0.0
+    ys = (flat_idx // w).astype(jnp.int32)
+    xs = (flat_idx % w).astype(jnp.int32)
+    yx = jnp.stack([ys, xs], axis=-1)
+    return {"yx": yx, "scores": scores, "valid": valid}
+
+
+def group_pixels_to_instances(
+    centers_yx: jnp.ndarray,
+    centers_valid: jnp.ndarray,
+    offset: jnp.ndarray,
+    foreground_mask: jnp.ndarray,
+    normalized_offset: bool = True,
+    offset_distance_threshold: Optional[float] = None,
+) -> jnp.ndarray:
+    """Assign each foreground pixel to its nearest voted center.
+
+    centers_yx: (N, K, 2); offset: (N, H, W, 2) storing (dy, dx) in
+    normalized ([-1,1] * image size) or absolute pixels; returns
+    (N, H, W) int32 instance ids in [0, K] with 0 = unassigned.
+
+    The argmin over centers is computed from the expanded squared
+    distance |v|^2 - 2 v.c + |c|^2 whose middle term is a batched
+    (H*W, 2) x (2, K) matmul — MXU work instead of a gather loop.
+    """
+    n, h, w, _ = offset.shape
+    k = centers_yx.shape[1]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    loc = jnp.stack([ys, xs], axis=-1)  # (H, W, 2)
+
+    off = offset.astype(jnp.float32)
+    if normalized_offset:
+        off = off * jnp.asarray([h, w], jnp.float32)
+
+    voted = loc[None] + off  # (N, H, W, 2) voted center position
+    v = voted.reshape(n, h * w, 2)
+    c = centers_yx.astype(jnp.float32)  # (N, K, 2)
+
+    v_sq = jnp.sum(v * v, axis=-1, keepdims=True)  # (N, HW, 1)
+    c_sq = jnp.sum(c * c, axis=-1)[:, None, :]  # (N, 1, K)
+    cross = jnp.einsum(
+        "npc,nkc->npk", v, c, preferred_element_type=jnp.float32
+    )
+    dist_sq = v_sq - 2.0 * cross + c_sq  # (N, HW, K)
+
+    big = jnp.float32(1e12)
+    dist_sq = jnp.where(centers_valid[:, None, :], dist_sq, big)
+
+    best = jnp.argmin(dist_sq, axis=-1).astype(jnp.int32)  # (N, HW)
+    instance_id = best + 1
+    any_valid = jnp.any(centers_valid, axis=-1)[:, None]
+    if offset_distance_threshold is not None:
+        best_d = jnp.min(dist_sq, axis=-1)
+        near = best_d <= jnp.float32(offset_distance_threshold) ** 2
+        instance_id = jnp.where(near, instance_id, 0)
+    instance_id = jnp.where(any_valid, instance_id, 0)
+    instance_id = instance_id.reshape(n, h, w)
+    return jnp.where(foreground_mask, instance_id, 0)
+
+
+def postprocess_instance(
+    center: jnp.ndarray,
+    offset: jnp.ndarray,
+    foreground_mask: jnp.ndarray,
+    threshold: float = 0.1,
+    nms_kernel_size: int = 17,
+    top_k: int = 64,
+    apply_foreground_mask_to_heatmap: bool = False,
+    normalized_offset: bool = True,
+    offset_distance_threshold: Optional[float] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full instance postprocessing (heatmap -> centers -> grouping).
+
+    center: (N, H, W, 1); offset: (N, H, W, 2); foreground_mask (N, H, W)
+    bool (thing-class pixels; GT foreground at training time, predicted
+    semantic things at inference — decoder.py:95-104 / args.py:469-538).
+    """
+    heatmap = center[..., 0]
+    centers = find_instance_centers(
+        heatmap,
+        threshold=threshold,
+        nms_kernel_size=nms_kernel_size,
+        top_k=top_k,
+        foreground_mask=(
+            foreground_mask if apply_foreground_mask_to_heatmap else None
+        ),
+    )
+    instance_seg = group_pixels_to_instances(
+        centers["yx"],
+        centers["valid"],
+        offset,
+        foreground_mask,
+        normalized_offset=normalized_offset,
+        offset_distance_threshold=offset_distance_threshold,
+    )
+    return {
+        "segmentation": instance_seg,  # (N, H, W) ids in [0, K]
+        "centers_yx": centers["yx"],
+        "centers_score": centers["scores"],
+        "centers_valid": centers["valid"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# panoptic merge (deeplab semantics)
+
+
+def panoptic_merge(
+    semantic_idx: jnp.ndarray,
+    semantic_score: jnp.ndarray,
+    instance_seg: jnp.ndarray,
+    centers_score: jnp.ndarray,
+    centers_valid: jnp.ndarray,
+    is_thing: jnp.ndarray,
+    n_classes: int,
+    label_divisor: int = LABEL_DIVISOR,
+    void_label: int = VOID_LABEL,
+) -> Dict[str, jnp.ndarray]:
+    """Panoptic-DeepLab merge, fully on-device (SURVEY.md M6/M13).
+
+    semantic_idx: (N, H, W) int32 in the *full* label space (0 = void).
+    instance_seg: (N, H, W) int32 in [0, K] (0 = unassigned).
+    is_thing: (C_full,) bool lookup (void False).
+
+    Per instance id, the semantic class is decided by majority vote over
+    the instance's pixels (one-hot segment sums -> (K+1, C) histogram ->
+    argmax), restricted to thing classes. panoptic = class * divisor +
+    instance for things; class * divisor for stuff; void for thing pixels
+    without an instance.
+    """
+    n, h, w = semantic_idx.shape
+    k = centers_score.shape[1]
+
+    thing_mask = is_thing[semantic_idx]  # (N, H, W)
+    has_instance = instance_seg > 0
+
+    # --- majority vote: histogram over (instance id, semantic class) ------
+    # one-hot segment sum; votes only from thing pixels of each instance
+    flat_inst = instance_seg.reshape(n, h * w)
+    flat_sem = semantic_idx.reshape(n, h * w)
+    flat_thing = thing_mask.reshape(n, h * w)
+
+    vote_weight = flat_thing.astype(jnp.float32)
+    # combined key: inst * n_classes + sem, histogram via scatter-add
+    combined = flat_inst * n_classes + flat_sem
+
+    def hist_one(keys, weights):
+        return jnp.zeros(((k + 1) * n_classes,), jnp.float32).at[keys].add(
+            weights
+        )
+
+    hist = jax.vmap(hist_one)(combined, vote_weight)
+    hist = hist.reshape(n, k + 1, n_classes)
+    # restrict to thing classes; instance 0 is "no instance"
+    hist = jnp.where(is_thing[None, None, :], hist, 0.0)
+    inst_semantic = jnp.argmax(hist, axis=-1).astype(jnp.int32)  # (N, K+1)
+    inst_has_votes = jnp.max(hist, axis=-1) > 0
+    inst_area = jnp.sum(hist, axis=-1)  # thing-pixel area per instance
+
+    # invalid instances (no pixels / no votes) get void semantics
+    inst_semantic = jnp.where(inst_has_votes, inst_semantic, void_label)
+
+    # --- compose panoptic ids ---------------------------------------------
+    # per-pixel: semantic class of its instance (majority-voted)
+    pixel_inst_sem = jnp.take_along_axis(
+        inst_semantic, flat_inst, axis=1
+    ).reshape(n, h, w)
+
+    thing_assigned = thing_mask & has_instance & (pixel_inst_sem > 0)
+    panoptic = jnp.where(
+        thing_assigned,
+        pixel_inst_sem * label_divisor + instance_seg,
+        jnp.where(
+            thing_mask,
+            void_label,  # unassigned thing pixels -> void
+            semantic_idx * label_divisor,  # stuff passthrough
+        ),
+    ).astype(jnp.int32)  # max id = C*2^16 + K, well within int32
+
+    # --- scores & meta ------------------------------------------------------
+    center_score_padded = jnp.concatenate(
+        [jnp.zeros((n, 1), centers_score.dtype), centers_score], axis=1
+    )  # (N, K+1), index by instance id
+    pixel_inst_score = jnp.take_along_axis(
+        center_score_padded, flat_inst, axis=1
+    ).reshape(n, h, w)
+    panoptic_score = jnp.where(
+        thing_assigned,
+        pixel_inst_score * semantic_score,
+        jnp.where(thing_mask, 0.0, semantic_score),
+    )
+
+    meta_valid = inst_has_votes[:, 1:] & centers_valid
+    return {
+        "panoptic": panoptic,
+        "panoptic_score": panoptic_score.astype(jnp.float32),
+        "pixel_instance_semantic": pixel_inst_sem,
+        "foreground_mask": thing_mask,
+        # fixed-shape instance meta (reference meta dicts, SURVEY.md §3.4)
+        "instance_meta_semantic_idx": inst_semantic[:, 1:],
+        "instance_meta_area": inst_area[:, 1:].astype(jnp.int32),
+        "instance_meta_score": centers_score,
+        "instance_meta_valid": meta_valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# orientation
+
+
+def aggregate_instance_orientations(
+    orientation: jnp.ndarray,
+    instance_seg: jnp.ndarray,
+    top_k: int,
+) -> Dict[str, jnp.ndarray]:
+    """Per-instance orientation: circular mean of the biternion field.
+
+    orientation: (N, H, W, 2) raw (sin, cos)-like outputs; mean over each
+    instance's pixels then atan2 (von-Mises/biternion decoding,
+    SURVEY.md M5/M11). Returns angles in [0, 2*pi) (N, K).
+    """
+    n, h, w, _ = orientation.shape
+    flat_inst = instance_seg.reshape(n, h * w)
+    flat_or = orientation.reshape(n, h * w, 2).astype(jnp.float32)
+
+    def seg_sum(inst, vals):
+        zeros = jnp.zeros((top_k + 1, 2), jnp.float32)
+        return zeros.at[inst].add(vals)
+
+    sums = jax.vmap(seg_sum)(flat_inst, flat_or)  # (N, K+1, 2)
+    sums = sums[:, 1:, :]
+    angles = jnp.arctan2(sums[..., 0], sums[..., 1])  # (sin, cos)
+    return {"instance_orientations": jnp.mod(angles, 2 * jnp.pi)}
+
+
+# ---------------------------------------------------------------------------
+# scene
+
+
+def postprocess_scene(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return {
+        "class_idx": jnp.argmax(probs, axis=-1).astype(jnp.int32),
+        "class_score": jnp.max(probs, axis=-1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# top-level
+
+
+def postprocess(
+    outputs: Dict[str, Any],
+    is_thing: jnp.ndarray,
+    cfg=None,
+    gt_foreground: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full postprocessing over raw model outputs (flat key contract §3.4).
+
+    is_thing: (C_full,) bool for the full label space including void at 0.
+    The semantic head predicts void-free classes; +1 maps into the full
+    space. If `gt_foreground` is given (training-time postprocessing),
+    instance grouping uses it instead of predicted semantics
+    (reference: instance postprocessing with GT foreground masks).
+    """
+    from emsanet_tpu.config import ModelConfig
+
+    cfg = cfg or ModelConfig()
+    results: Dict[str, jnp.ndarray] = {}
+    n_classes_full = int(is_thing.shape[0])
+
+    semantic_full = None
+    semantic_score = None
+    if "semantic" in outputs:
+        sem = postprocess_semantic(outputs["semantic"]["logits"])
+        results["semantic_segmentation_idx"] = sem["segmentation_idx"]
+        results["semantic_segmentation_score"] = sem["score"]
+        semantic_full = sem["segmentation_idx"] + 1  # -> full label space
+        semantic_score = sem["score"]
+
+    if "instance" in outputs:
+        if gt_foreground is not None:
+            foreground = gt_foreground.astype(bool)
+        elif semantic_full is not None:
+            foreground = is_thing[semantic_full]
+        else:
+            foreground = jnp.ones(
+                outputs["instance"]["center"].shape[:3], bool
+            )
+        inst = postprocess_instance(
+            outputs["instance"]["center"],
+            outputs["instance"]["offset"],
+            foreground,
+            threshold=cfg.instance_center_heatmap_threshold,
+            nms_kernel_size=cfg.instance_center_heatmap_nms_kernel_size,
+            top_k=cfg.instance_center_heatmap_top_k,
+            apply_foreground_mask_to_heatmap=(
+                cfg.instance_center_heatmap_apply_foreground_mask
+            ),
+            normalized_offset=cfg.instance_normalized_offset,
+            offset_distance_threshold=cfg.instance_offset_distance_threshold,
+        )
+        results["instance_segmentation"] = inst["segmentation"]
+        results["instance_centers"] = outputs["instance"]["center"]
+        results["instance_offsets"] = outputs["instance"]["offset"]
+        results["instance_centers_yx"] = inst["centers_yx"]
+        results["instance_centers_score"] = inst["centers_score"]
+        results["instance_centers_valid"] = inst["centers_valid"]
+        results["instance_foreground"] = foreground
+
+        if semantic_full is not None and getattr(cfg, "enable_panoptic", False):
+            pan = panoptic_merge(
+                semantic_full,
+                semantic_score,
+                inst["segmentation"],
+                inst["centers_score"],
+                inst["centers_valid"],
+                is_thing,
+                n_classes=n_classes_full,
+            )
+            results["panoptic_segmentation_deeplab"] = pan["panoptic"]
+            results["panoptic_segmentation_deeplab_panoptic_score"] = pan[
+                "panoptic_score"
+            ]
+            results["panoptic_segmentation_deeplab_semantic_idx"] = pan[
+                "pixel_instance_semantic"
+            ]
+            results["panoptic_foreground_mask"] = pan["foreground_mask"]
+            results["panoptic_instance_meta_semantic_idx"] = pan[
+                "instance_meta_semantic_idx"
+            ]
+            results["panoptic_instance_meta_area"] = pan["instance_meta_area"]
+            results["panoptic_instance_meta_score"] = pan["instance_meta_score"]
+            results["panoptic_instance_meta_valid"] = pan["instance_meta_valid"]
+
+        if "orientation" in outputs.get("instance", {}):
+            ors = aggregate_instance_orientations(
+                outputs["instance"]["orientation"],
+                inst["segmentation"],
+                top_k=cfg.instance_center_heatmap_top_k,
+            )
+            results["orientations_instance"] = ors["instance_orientations"]
+            results["instance_orientation"] = outputs["instance"]["orientation"]
+
+    if "normal" in outputs:
+        results["normal"] = outputs["normal"]["normal"]
+
+    if "scene" in outputs:
+        scene = postprocess_scene(outputs["scene"]["logits"])
+        results["scene_class_idx"] = scene["class_idx"]
+        results["scene_class_score"] = scene["class_score"]
+
+    return results
