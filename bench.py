@@ -1,0 +1,144 @@
+"""Throughput benchmark: RGB-D frames/sec/chip at 640x480, bf16 jit.
+
+Replaces the reference's ONNX->TensorRT timing harness
+(inference_time_whole_model.py / inference_time.bash: 20 warmup + 80
+timed runs, mean±std FPS) with AOT-compiled `jax.jit` batched inference.
+
+Baseline to beat: 24.5 FPS (Jetson AGX Xavier, TensorRT FP16, batch 1,
+640x480, no postprocessing — BASELINE.md). North star: >=3x on one
+TPU v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--warmup", type=int, default=20)
+    parser.add_argument("--runs", type=int, default=80)
+    parser.add_argument("--height", type=int, default=480)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--with-postprocessing", action="store_true",
+                        help="include on-device postprocessing (the "
+                        "reference baseline excludes it)")
+    parser.add_argument("--quick", action="store_true",
+                        help="small config for smoke testing")
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args()
+
+    if args.quick:
+        args.batch_size, args.warmup, args.runs = 2, 2, 5
+        args.height, args.width = 96, 128
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet, init_model
+    from emsanet_tpu.postprocessing import postprocess
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(
+            tasks=("semantic", "instance", "orientation", "scene"),
+            enable_panoptic=True,
+            input_height=args.height,
+            input_width=args.width,
+            rgb_encoder_backbone="resnet34" if not args.quick else "resnet18",
+            depth_encoder_backbone="resnet34" if not args.quick else "resnet18",
+            compute_dtype=args.dtype,
+        ),
+        data=DataConfig(dataset="synthetic"),
+    ).validate()
+    ds_config = get_dataset_config(cfg.data)
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
+
+    n, h, w = args.batch_size, args.height, args.width
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.randn(n, h, w, 3), jnp.float32)
+    depth = jnp.asarray(rng.randn(n, h, w, 1), jnp.float32)
+
+    # Timing note: on the tunneled 'axon' backend, block_until_ready does
+    # not actually wait for execution; only a device->host readback does,
+    # and each readback carries ~100ms tunnel latency. The jitted step
+    # therefore returns a 4-byte scalar depending on every output, and we
+    # time two different queue lengths — the difference cancels the
+    # constant dispatch+readback overhead and yields pure device time.
+    if args.with_postprocessing:
+        @jax.jit
+        def fn(params, batch_stats, rgb, depth):
+            outputs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                {"rgb": rgb, "depth": depth}, train=False,
+            )
+            preds = postprocess(outputs, is_thing, cfg.model)
+            leaves = [p.astype(jnp.float32).reshape(-1)[0]
+                      for p in jax.tree.leaves(preds)]
+            return sum(leaves)
+    else:
+        @jax.jit
+        def fn(params, batch_stats, rgb, depth):
+            # baseline protocol: raw network outputs, no postprocessing
+            outputs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                {"rgb": rgb, "depth": depth}, train=False,
+            )
+            leaves = [p.astype(jnp.float32).reshape(-1)[0]
+                      for p in jax.tree.leaves(outputs)]
+            return sum(leaves)
+
+    params, batch_stats = variables["params"], variables.get("batch_stats")
+
+    # warmup (compile + cache); readback guarantees compile finished
+    for _ in range(max(args.warmup, 1)):
+        v = float(fn(params, batch_stats, rgb, depth))
+
+    def timed(n_runs: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_runs - 1):
+            fn(params, batch_stats, rgb, depth)  # async enqueue
+        float(fn(params, batch_stats, rgb, depth))  # readback drains queue
+        return time.perf_counter() - t0
+
+    n_short = max(args.runs // 5, 2)
+    n_long = args.runs
+    pairs = [(timed(n_short), timed(n_long)) for _ in range(3)]
+    per_batch = min((tl - ts) / (n_long - n_short) for ts, tl in pairs)
+    per_batch_all = [(tl - ts) / (n_long - n_short) for ts, tl in pairs]
+
+    fps_mean = args.batch_size / per_batch
+    fps_std = float(np.std([args.batch_size / p for p in per_batch_all]))
+    times = np.asarray([per_batch])
+
+    baseline_fps = 24.5  # BASELINE.md: Jetson AGX Xavier TRT FP16
+    result = {
+        "metric": "rgbd_frames_per_sec_per_chip_640x480_bf16"
+        if not args.quick else "rgbd_fps_quick_smoke",
+        "value": round(fps_mean, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_mean / baseline_fps, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={args.batch_size} dtype={args.dtype} "
+        f"postproc={args.with_postprocessing} "
+        f"fps={fps_mean:.2f}±{fps_std:.2f} "
+        f"latency/batch={times.mean()*1e3:.2f}ms "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

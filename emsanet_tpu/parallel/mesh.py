@@ -1,0 +1,108 @@
+"""Device-mesh data parallelism.
+
+The reference trains single-process, single-GPU (SURVEY.md §2.4: no
+DDP/FSDP/NCCL anywhere). The TPU-native framework makes multi-chip
+scaling first-class instead:
+
+- 1-D 'data' mesh over ICI (`jax.sharding.Mesh`),
+- the train step runs under `shard_map`: each chip computes grads on its
+  batch shard, `lax.pmean` over the mesh axis all-reduces grads +
+  batch-norm statistics + loss metrics across ICI,
+- params/optimizer state are replicated (the model is ~35M params;
+  replication + psum is the bandwidth-optimal layout at this scale —
+  no FSDP-style sharding needed),
+- multi-host: `jax.distributed.initialize` + per-host input shards feed
+  the same program (gradient all-reduce rides ICI within a slice, DCN
+  across slices — XLA inserts the hierarchical collective).
+
+Used by training config 5 of BASELINE.json (NYUv2 multi-task training
+data-parallel on v5e-8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} "
+                "available."
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _batch_spec(x, axis: str):
+    if hasattr(x, "ndim") and x.ndim > 0:
+        return P(axis, *([None] * (x.ndim - 1)))
+    return P()
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place batch arrays sharded on the leading (batch) axis."""
+    axis = mesh.axis_names[0]
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, _batch_spec(x, axis)))
+        if hasattr(x, "ndim")
+        else x,
+        batch,
+    )
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate the train state across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") else x,
+        state,
+    )
+
+
+def make_parallel_train_step(model, cfg, class_weights, mesh: Mesh):
+    """Data-parallel train step: `shard_map` over the 1-D 'data' mesh.
+
+    Batch sharded on axis 0, state replicated; gradients/metrics pmean-ed
+    inside the mapped step, so outputs are replicated. The jit cache is
+    keyed on pytree structure + shapes, so the shard_map is built per
+    batch structure but compiled once.
+    """
+    from emsanet_tpu.training.step import make_train_step
+
+    axis = mesh.axis_names[0]
+    inner = make_train_step(model, cfg, class_weights, axis_name=axis)
+
+    @functools.cache
+    def build(batch_treedef, batch_ndims):
+        batch_specs = jax.tree.unflatten(
+            batch_treedef,
+            [P(axis, *([None] * (nd - 1))) if nd > 0 else P()
+             for nd in batch_ndims],
+        )
+        mapped = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(mapped)
+
+    def step(state, batch, rng):
+        leaves, treedef = jax.tree.flatten(batch)
+        ndims = tuple(getattr(l, "ndim", 0) for l in leaves)
+        return build(treedef, ndims)(state, batch, rng)
+
+    return step

@@ -1,0 +1,293 @@
+"""Per-task helpers: validation metric accumulation + epoch-end artifacts.
+
+Reference: `nicr_mt_scene_analysis.task_helper` + `emsanet/task_helper.py`
+(SURVEY.md M11, R7). Protocol kept: `initialize()`, `validation_step(batch,
+predictions)`, `validation_epoch_end() -> (artifacts, logs)`. Training-side
+loss computation lives in `training/step.py` (pure-jit); these helpers run
+host-side over postprocessed predictions during validation.
+
+Metric keys mirror the reference transcripts (README.md:268-336):
+semantic_miou, scene_bacc, panoptic_all_with_gt_deeplab_pq/rq/sq,
+panoptic_deeplab_semantic_miou, orientation_mae_gt_deg,
+panoptic_mae_deeplab_deg, instance_all_with_gt_deeplab_pq.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from emsanet_tpu.metrics import (
+    LABEL_DIVISOR,
+    BalancedAccuracy,
+    MeanAbsoluteAngularError,
+    MeanIoU,
+    PanopticQuality,
+    deeplab_merge_numpy,
+)
+
+
+def _valid_slice(batch, arr):
+    """Drop padded samples from the last validation batch."""
+    mask = batch.get("_valid_mask")
+    if mask is None:
+        return arr
+    return arr[np.asarray(mask)]
+
+
+class TaskHelperBase:
+    def initialize(self):
+        pass
+
+    def validation_step(self, batch: Dict, predictions: Dict):
+        raise NotImplementedError
+
+    def validation_epoch_end(self) -> Tuple[Dict[str, Any], Dict[str, float]]:
+        raise NotImplementedError
+
+
+class SemanticTaskHelper(TaskHelperBase):
+    def __init__(self, n_classes_with_void: int):
+        self.n_classes = n_classes_with_void
+
+    def initialize(self):
+        self.miou = MeanIoU(self.n_classes)
+
+    def validation_step(self, batch, predictions):
+        pred = np.asarray(predictions["semantic_segmentation_idx"]) + 1
+        target = np.asarray(batch["semantic"])
+        self.miou.update(_valid_slice(batch, pred), _valid_slice(batch, target))
+
+    def validation_epoch_end(self):
+        artifacts = {"semantic_confusion": self.miou.confusion.copy()}
+        return artifacts, {"semantic_miou": self.miou.compute()}
+
+
+class SceneTaskHelper(TaskHelperBase):
+    def __init__(self, n_classes_with_void: int):
+        self.n_classes = n_classes_with_void
+
+    def initialize(self):
+        self.bacc = BalancedAccuracy(self.n_classes)
+
+    def validation_step(self, batch, predictions):
+        pred = np.asarray(predictions["scene_class_idx"]) + 1
+        target = np.asarray(batch["scene"])
+        self.bacc.update(_valid_slice(batch, pred), _valid_slice(batch, target))
+
+    def validation_epoch_end(self):
+        return {}, {"scene_bacc": self.bacc.compute()}
+
+
+class InstanceTaskHelper(TaskHelperBase):
+    """Class-agnostic instance quality via PQ with GT foreground.
+
+    Reference metric `instance_all_with_gt_deeplab_pq` (README.md:268-336):
+    predicted instances merged with *GT* semantics/foreground, scored as a
+    2-class (thing-vs-stuff collapsed) panoptic problem.
+    """
+
+    def __init__(self, is_thing: Sequence[bool]):
+        self.is_thing = np.asarray(is_thing, bool)
+
+    def initialize(self):
+        # single thing category: class-agnostic
+        self.pq = PanopticQuality(2, (False, True))
+
+    def validation_step(self, batch, predictions):
+        inst_pred = np.asarray(predictions["instance_segmentation"])
+        inst_gt = np.asarray(batch["instance"])
+        sem_gt = np.asarray(batch["semantic"])
+        thing_gt = self.is_thing[sem_gt]
+        for b in range(inst_pred.shape[0]):
+            mask = batch.get("_valid_mask")
+            if mask is not None and not mask[b]:
+                continue
+            # encode as 1*divisor + id on GT-thing pixels, void elsewhere
+            pred_pan = np.where(
+                thing_gt[b] & (inst_pred[b] > 0),
+                LABEL_DIVISOR + inst_pred[b], 0,
+            )
+            gt_pan = np.where(
+                thing_gt[b] & (inst_gt[b] > 0), LABEL_DIVISOR + inst_gt[b], 0
+            )
+            self.pq.update(pred_pan, gt_pan)
+
+    def validation_epoch_end(self):
+        res = self.pq.compute()
+        return {}, {
+            "instance_all_with_gt_deeplab_pq": res["all_pq"],
+            "instance_all_with_gt_deeplab_rq": res["all_rq"],
+            "instance_all_with_gt_deeplab_sq": res["all_sq"],
+        }
+
+
+class PanopticTaskHelper(TaskHelperBase):
+    """Full panoptic evaluation: PQ vs GT merge + post-merge semantic mIoU
+    + panoptic orientation MAAE."""
+
+    def __init__(self, is_thing: Sequence[bool], n_classes_with_void: int,
+                 has_orientation: bool = False):
+        self.is_thing = np.asarray(is_thing, bool)
+        self.n_classes = n_classes_with_void
+        self.has_orientation = has_orientation
+
+    def initialize(self):
+        self.pq = PanopticQuality(self.n_classes, self.is_thing.tolist())
+        self.miou = MeanIoU(self.n_classes)
+        self.mae = MeanAbsoluteAngularError()
+
+    def validation_step(self, batch, predictions):
+        pred_pan = np.asarray(predictions["panoptic_segmentation_deeplab"])
+        valid = np.asarray(
+            batch.get("_valid_mask", np.ones(pred_pan.shape[0], bool))
+        )
+        if "panoptic" in batch:
+            gt_pan = np.asarray(batch["panoptic"])
+        else:
+            gt_pan = deeplab_merge_numpy(
+                np.asarray(batch["semantic"]), np.asarray(batch["instance"]),
+                self.is_thing,
+            )
+        self.pq.update(pred_pan[valid], gt_pan[valid])
+        # post-merge semantic mIoU (README 'mIoU after panoptic merge')
+        sem_after = (pred_pan // LABEL_DIVISOR).astype(np.int32)
+        self.miou.update(sem_after[valid], np.asarray(batch["semantic"])[valid])
+
+        if self.has_orientation and "orientations_instance" in predictions:
+            self._update_orientation(batch, predictions, valid)
+
+    def _update_orientation(self, batch, predictions, valid):
+        """MAAE over predicted instances matched to GT instances."""
+        pred_angles = np.asarray(predictions["orientations_instance"])
+        inst_pred = np.asarray(predictions["instance_segmentation"])
+        inst_gt = np.asarray(batch["instance"])
+        gt_orients = batch.get("orientations_present") or batch.get(
+            "orientations"
+        )
+        if gt_orients is None:
+            return
+        for b in range(inst_pred.shape[0]):
+            if not valid[b]:
+                continue
+            ori = gt_orients[b] if isinstance(gt_orients, list) else gt_orients
+            if not ori:
+                continue
+            for pid in np.unique(inst_pred[b]):
+                if pid == 0:
+                    continue
+                mask = inst_pred[b] == pid
+                overlap_ids, counts = np.unique(
+                    inst_gt[b][mask], return_counts=True
+                )
+                best_gt = overlap_ids[np.argmax(counts)]
+                if best_gt == 0 or int(best_gt) not in ori:
+                    continue
+                # require majority overlap
+                if counts.max() < 0.5 * mask.sum():
+                    continue
+                self.mae.update(
+                    np.asarray([pred_angles[b, pid - 1]]),
+                    np.asarray([ori[int(best_gt)]]),
+                )
+
+    def validation_epoch_end(self):
+        res = self.pq.compute()
+        logs = {
+            "panoptic_all_with_gt_deeplab_pq": res["all_pq"],
+            "panoptic_all_with_gt_deeplab_rq": res["all_rq"],
+            "panoptic_all_with_gt_deeplab_sq": res["all_sq"],
+            "panoptic_things_with_gt_deeplab_pq": res["things_pq"],
+            "panoptic_stuff_with_gt_deeplab_pq": res["stuff_pq"],
+            "panoptic_deeplab_semantic_miou": self.miou.compute(),
+        }
+        if self.has_orientation:
+            logs["panoptic_mae_deeplab_deg"] = self.mae.compute()
+        return {}, logs
+
+
+class OrientationTaskHelper(TaskHelperBase):
+    """MAAE over GT instances (valid_orientation_mae_gt_deg)."""
+
+    def __init__(self):
+        pass
+
+    def initialize(self):
+        self.mae = MeanAbsoluteAngularError()
+
+    def validation_step(self, batch, predictions):
+        dense = np.asarray(predictions.get("instance_orientation"))
+        if dense is None:
+            return
+        inst_gt = np.asarray(batch["instance"])
+        gt_orients = batch.get("orientations_present") or batch.get(
+            "orientations"
+        )
+        valid = np.asarray(
+            batch.get("_valid_mask", np.ones(inst_gt.shape[0], bool))
+        )
+        if gt_orients is None:
+            return
+        for b in range(inst_gt.shape[0]):
+            if not valid[b]:
+                continue
+            ori = gt_orients[b] if isinstance(gt_orients, list) else gt_orients
+            for iid, theta in (ori or {}).items():
+                mask = inst_gt[b] == iid
+                if not mask.any():
+                    continue
+                vec = dense[b][mask].mean(0)
+                pred_angle = np.arctan2(vec[0], vec[1]) % (2 * np.pi)
+                self.mae.update(np.asarray([pred_angle]), np.asarray([theta]))
+
+    def validation_epoch_end(self):
+        return {}, {"orientation_mae_gt_deg": self.mae.compute()}
+
+
+class NormalTaskHelper(TaskHelperBase):
+    def initialize(self):
+        self._err_sum = 0.0
+        self._count = 0
+
+    def validation_step(self, batch, predictions):
+        pred = np.asarray(predictions["normal"])
+        target = np.asarray(batch["normal"])
+        valid = np.asarray(
+            batch.get("_valid_mask", np.ones(pred.shape[0], bool))
+        )
+        pred, target = pred[valid], target[valid]
+        mask = np.linalg.norm(target, axis=-1) > 0.5
+        cos = np.clip(np.sum(pred * target, -1), -1, 1)[mask]
+        self._err_sum += float(np.degrees(np.arccos(cos)).sum())
+        self._count += int(mask.sum())
+
+    def validation_epoch_end(self):
+        mae = self._err_sum / max(self._count, 1)
+        return {}, {"normal_mae_deg": mae}
+
+
+def get_task_helpers(cfg, dataset_config) -> List[TaskHelperBase]:
+    """Factory mirroring `emsanet/task_helper.py get_task_helpers`."""
+    n_sem = len(dataset_config.semantic_label_list)
+    n_scene = len(dataset_config.scene_label_list)
+    is_thing = dataset_config.semantic_label_list.classes_is_thing
+    helpers: List[TaskHelperBase] = []
+    tasks = cfg.model.tasks
+    if "semantic" in tasks:
+        helpers.append(SemanticTaskHelper(n_sem))
+    if "instance" in tasks:
+        helpers.append(InstanceTaskHelper(is_thing))
+    if cfg.model.enable_panoptic:
+        helpers.append(
+            PanopticTaskHelper(
+                is_thing, n_sem, has_orientation="orientation" in tasks
+            )
+        )
+    if "orientation" in tasks:
+        helpers.append(OrientationTaskHelper())
+    if "scene" in tasks:
+        helpers.append(SceneTaskHelper(n_scene))
+    if "normal" in tasks:
+        helpers.append(NormalTaskHelper())
+    return helpers

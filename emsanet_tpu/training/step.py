@@ -1,0 +1,238 @@
+"""Train/eval steps: multi-task loss computation + gradient update.
+
+Reference behavior: `main.py:121-150` (RunHelper.training_step: forward,
+per-task losses, fixed loss weighting, backward, SGD step) and the task
+helpers' loss wiring (SURVEY.md M10/M11). Multi-scale side outputs are
+supervised against the `_down_{32,16,8}` targets; the per-task total is
+full-resolution loss + the sum of side losses.
+
+TPU-first: the step is a pure function over a TrainState pytree; under
+data parallelism it runs inside `shard_map` with gradients/metrics
+`pmean`-ed over the 'data' mesh axis (SURVEY.md §2.4 TPU plan). bf16
+compute is selected via ModelConfig.compute_dtype; params/optimizer state
+stay f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from emsanet_tpu.losses import (
+    build_loss_weighting,
+    cross_entropy_scene,
+    cross_entropy_semantic,
+    get_total_loss_key,
+    l1_normal,
+    l1_offset,
+    mse_center,
+    von_mises_orientation,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.freeze({})),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def extract_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Array-only view of a collated batch (drops lists/identifiers)."""
+    import numpy as np
+
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("_down_") and isinstance(v, dict):
+            sub = extract_device_batch(v)
+            if sub:
+                out[k] = sub
+        elif isinstance(v, (np.ndarray, jnp.ndarray)) and not k.endswith(
+            "_fullres"
+        ):
+            out[k] = v
+    return out
+
+
+def compute_losses(
+    outputs: Dict[str, Any],
+    batch: Dict[str, Any],
+    cfg,
+    class_weights: Optional[jnp.ndarray] = None,
+    side_output_downscales: Tuple[int, ...] = (32, 16, 8),
+    orientation_kappa: float = 1.0,
+    label_smoothing: float = 0.0,
+) -> Dict[str, jnp.ndarray]:
+    """Per-task total losses keyed by `get_total_loss_key` names.
+
+    cfg: ModelConfig. Side outputs (train mode) are matched positionally
+    with `_down_{s}` target sub-batches.
+    """
+    losses: Dict[str, jnp.ndarray] = {}
+
+    def down(s):
+        return batch.get(f"_down_{s}", {})
+
+    if "semantic" in outputs and "semantic" in batch:
+        total = cross_entropy_semantic(
+            outputs["semantic"]["logits"], batch["semantic"],
+            class_weights, label_smoothing,
+        )
+        for side, s in zip(
+            outputs["semantic"].get("side_outputs", ()), side_output_downscales
+        ):
+            tgt = down(s).get("semantic")
+            if tgt is not None:
+                total = total + cross_entropy_semantic(
+                    side, tgt, class_weights, label_smoothing
+                )
+        losses[get_total_loss_key("semantic")] = total
+
+    if "instance" in outputs and "instance_center" in batch:
+        inst = outputs["instance"]
+        center_total = mse_center(
+            inst["center"], batch["instance_center"],
+            batch.get("instance_center_mask"),
+        )
+        offset_total = l1_offset(
+            inst["offset"], batch["instance_offset"],
+            batch["instance_foreground"],
+        )
+        orient_total = None
+        if "orientation" in inst and "orientation" in batch:
+            orient_total = von_mises_orientation(
+                inst["orientation"], batch["orientation"],
+                batch["orientation_foreground"], kappa=orientation_kappa,
+            )
+        for side, s in zip(
+            inst.get("side_outputs", ()), side_output_downscales
+        ):
+            sub = down(s)
+            if "instance_center" not in sub:
+                continue
+            center_total = center_total + mse_center(
+                side[..., 0:1], sub["instance_center"],
+                sub.get("instance_center_mask"),
+            )
+            offset_total = offset_total + l1_offset(
+                side[..., 1:3], sub["instance_offset"],
+                sub["instance_foreground"],
+            )
+            if orient_total is not None and "orientation" in sub:
+                orient_total = orient_total + von_mises_orientation(
+                    side[..., 3:5], sub["orientation"],
+                    sub["orientation_foreground"], kappa=orientation_kappa,
+                )
+        losses[get_total_loss_key("instance_center")] = center_total
+        losses[get_total_loss_key("instance_offset")] = offset_total
+        if orient_total is not None:
+            losses[get_total_loss_key("instance_orientation")] = orient_total
+
+    if "scene" in outputs and "scene" in batch:
+        losses[get_total_loss_key("scene")] = cross_entropy_scene(
+            outputs["scene"]["logits"], batch["scene"],
+            label_smoothing=label_smoothing,
+        )
+
+    if "normal" in outputs and "normal" in batch:
+        mask = batch.get("normal_mask")
+        losses[get_total_loss_key("normal")] = l1_normal(
+            outputs["normal"]["normal"], batch["normal"], mask
+        )
+
+    return losses
+
+
+def make_train_step(
+    model,
+    cfg,
+    class_weights: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+):
+    """Build the jittable train step.
+
+    cfg: EMSANetConfig. With `axis_name` set, gradients and loss metrics
+    are pmean-ed across that mesh axis (use inside shard_map/pmap).
+    """
+    loss_weighting = build_loss_weighting(
+        cfg.model.tasks, cfg.train.tasks_weighting, cfg.train.instance_weighting
+    )
+    side_downscales = cfg.model.side_output_downscales
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        losses = compute_losses(
+            outputs,
+            batch,
+            cfg.model,
+            class_weights=class_weights,
+            side_output_downscales=side_downscales,
+            orientation_kappa=cfg.train.orientation_kappa,
+            label_smoothing=cfg.train.label_smoothing,
+        )
+        total = loss_weighting.reduce_losses(losses)
+        return total, (losses, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, dropout_rng):
+        (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, dropout_rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+            new_batch_stats = jax.lax.pmean(new_batch_stats, axis_name)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_batch_stats)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg, is_thing: jnp.ndarray):
+    """Forward + full postprocessing, jittable (validation hot path)."""
+    from emsanet_tpu.postprocessing import postprocess
+
+    def eval_step(params, batch_stats, batch):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            train=False,
+        )
+        preds = postprocess(outputs, is_thing, cfg.model)
+        return preds
+
+    return eval_step

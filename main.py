@@ -1,0 +1,317 @@
+"""EMSANet-TPU training + evaluation driver.
+
+Mirrors the reference entry point `main.py` (SURVEY.md R1/§3.1-3.2):
+run-dir layout results/<dataset>/run_<ts>/{checkpoints,artifacts,examples}
+with args.json/argsv.txt dumps, a sanity check (one train + one valid
+batch before training), the epoch loop with per-epoch OneCycle LR,
+validation every `--validation-force-interval` epochs (or always after
+`--validation-skip` fraction), best-metric checkpoints, atomic resume
+checkpoints every `--resume-ckpt-interval` epochs, an error checkpoint +
+error.log on crash, CSV/wandb logging, and a `finished` marker.
+
+TPU-first: the train step is one jit program (optionally shard_mapped over
+a 1-D data mesh with `--n-devices`), the validation step is one jit
+program including full on-device postprocessing; only metric accumulation
+runs host-side.
+
+Usage:
+    python main.py --dataset synthetic --n-epochs 2 ...   # smoke
+    python main.py --dataset nyuv2 --dataset-path ... --tasks semantic \
+        instance orientation scene --enable-panoptic ...
+    python main.py resume results/nyuv2/run_.../           # resume
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def main(argv=None):
+    from emsanet_tpu.utils.cli import parse_args
+
+    cfg, ns, used_argv = parse_args(argv)
+
+    if getattr(ns, "device", "tpu") == "cpu":
+        import os as _os
+
+        _os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emsanet_tpu.data import get_datahelper
+    from emsanet_tpu.datasets.registry import get_dataset_config, parse_datasets
+    from emsanet_tpu.losses import get_total_loss_key
+    from emsanet_tpu.models import EMSANet, init_model
+    from emsanet_tpu.preprocessing import get_preprocessor
+    from emsanet_tpu.task_helper import get_task_helpers
+    from emsanet_tpu.training import (
+        CheckpointHelper,
+        CSVLogger,
+        create_train_state,
+        get_optimizer,
+        load_checkpoint,
+        make_eval_step,
+        make_train_step,
+        save_checkpoint,
+    )
+    from emsanet_tpu.training.lr_schedule import get_lr_fn
+    from emsanet_tpu.training.optim import set_learning_rate
+    from emsanet_tpu.training.step import extract_device_batch
+
+    # ----- run dir (main.py:288-315) ---------------------------------------
+    main_dataset = parse_datasets(cfg.data.dataset)[0]["name"]
+    ts = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S-%f")
+    run_dir = os.path.join(cfg.train.results_basepath, main_dataset,
+                           f"run_{ts}")
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    artifacts_dir = os.path.join(run_dir, "artifacts")
+    examples_dir = os.path.join(run_dir, "examples")
+    for d in (ckpt_dir, artifacts_dir, examples_dir):
+        os.makedirs(d, exist_ok=True)
+    with open(os.path.join(run_dir, "args.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    with open(os.path.join(run_dir, "argsv.txt"), "w") as fh:
+        fh.write(" ".join(used_argv))
+    print(f"[emsanet-tpu] run dir: {run_dir}")
+    print(f"[emsanet-tpu] devices: {jax.devices()}")
+
+    # ----- data -------------------------------------------------------------
+    ds_config = get_dataset_config(cfg.data)
+    data = get_datahelper(cfg)
+    datasets = tuple(d["name"] for d in parse_datasets(cfg.data.dataset))
+    sunrgbd_combined = datasets[0] == "sunrgbd" and any(
+        d in ("nyuv2", "hypersim", "scannet") for d in datasets[1:]
+    )
+    # side-output downscales come from the decoder (main.py:390-409)
+    multiscale = cfg.model.side_output_downscales or None
+    data.set_train_preprocessor(
+        get_preprocessor(cfg, ds_config, "train",
+                         multiscale_downscales=multiscale,
+                         sunrgbd_combined=sunrgbd_combined)
+    )
+    data.set_valid_preprocessor(
+        get_preprocessor(cfg, ds_config, "test",
+                         sunrgbd_combined=sunrgbd_combined)
+    )
+
+    # ----- class weights (task_helper.py:25-30) -----------------------------
+    class_weights = None
+    if "semantic" in cfg.model.tasks and cfg.data.class_weighting != "none":
+        print("[emsanet-tpu] computing semantic class weights "
+              f"({cfg.data.class_weighting}) ...")
+        cw = data.dataset_train.semantic_compute_class_weights(
+            weight_mode=cfg.data.class_weighting, c=cfg.data.class_weighting_c
+        )
+        class_weights = jnp.asarray(cw)
+
+    # ----- model ------------------------------------------------------------
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    variables = init_model(model, rng, train=True)
+    tx = get_optimizer(cfg.train)
+    state = create_train_state(model, variables, tx)
+    next_epoch = 0
+    logs_history = {}
+
+    if cfg.train.weights_filepath:
+        from emsanet_tpu.weights import load_weights_file
+
+        state = load_weights_file(cfg.train.weights_filepath, state, cfg)
+        print(f"[emsanet-tpu] loaded weights: {cfg.train.weights_filepath}")
+
+    if cfg.train.resume_ckpt_filepath:
+        state, last_epoch, logs_history = load_checkpoint(
+            cfg.train.resume_ckpt_filepath, state
+        )
+        next_epoch = last_epoch + 1
+        print(f"[emsanet-tpu] resumed from epoch {last_epoch}")
+
+    # ----- steps ------------------------------------------------------------
+    is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
+    n_devices = cfg.train.n_devices
+    use_mesh = (n_devices or len(jax.devices())) > 1
+    if use_mesh:
+        from emsanet_tpu.parallel import (
+            create_mesh, make_parallel_train_step, replicate_state,
+            shard_batch,
+        )
+
+        mesh = create_mesh(n_devices)
+        train_step = make_parallel_train_step(model, cfg, class_weights, mesh)
+        state = replicate_state(state, mesh)
+        put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"[emsanet-tpu] data parallel over {mesh.devices.size} devices")
+    else:
+        train_step = jax.jit(make_train_step(model, cfg, class_weights))
+        put_batch = lambda b: b  # noqa: E731
+
+    eval_step = jax.jit(make_eval_step(model, cfg, is_thing))
+    task_helpers = get_task_helpers(cfg, ds_config)
+    lr_fn = get_lr_fn(cfg.train)
+    checkpoint_helper = CheckpointHelper(
+        tuple(cfg.train.checkpointing_metrics)
+    )
+    csv_logger = CSVLogger(os.path.join(run_dir, "metrics.csv"))
+
+    def run_validation(epoch: int):
+        for th in task_helpers:
+            th.initialize()
+        n_batches = 0
+        for camera, loader in data.valid_loaders.items():
+            for batch in loader.batches(0):
+                device_batch = extract_device_batch(batch)
+                preds = eval_step(
+                    state.params, state.batch_stats,
+                    {k: device_batch[k] for k in ("rgb", "depth")
+                     if k in device_batch},
+                )
+                preds = jax.device_get(preds)
+                for th in task_helpers:
+                    th.validation_step(batch, preds)
+                n_batches += 1
+        logs = {}
+        for th in task_helpers:
+            artifacts, th_logs = th.validation_epoch_end()
+            logs.update({f"valid_{k}": v for k, v in th_logs.items()})
+            for name, arr in artifacts.items():
+                np.save(
+                    os.path.join(artifacts_dir, f"{name}_epoch_{epoch}.npy"),
+                    arr,
+                )
+        return logs
+
+    # ----- sanity check (main.py:479-520) -----------------------------------
+    print("[emsanet-tpu] sanity check: 1 train batch + 1 valid batch ...")
+    dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    train_iter = data.train_loader.batches(0)
+    sanity_batch = extract_device_batch(next(train_iter))
+    state_check, metrics = train_step(
+        state, put_batch(sanity_batch), dropout_rng
+    )
+    del state_check
+    print(f"[emsanet-tpu] sanity train loss: "
+          f"{float(metrics['total_loss']):.4f}")
+    if cfg.train.validation_only:
+        logs = run_validation(epoch=next_epoch)
+        print(json.dumps(logs, indent=2, default=float))
+        csv_logger.log({"epoch": next_epoch, **logs})
+        return logs
+
+    # ----- wandb (optional; main.py:334-344) --------------------------------
+    wandb = None
+    if getattr(ns, "wandb_mode", "disabled") != "disabled":
+        try:
+            import wandb as _wandb
+
+            wandb = _wandb
+            wandb.init(project=ns.wandb_project, mode=ns.wandb_mode,
+                       config=cfg.to_dict(), dir=run_dir)
+        except Exception as e:  # wandb genuinely optional
+            print(f"[emsanet-tpu] wandb unavailable: {e}")
+
+    # ----- epoch loop (main.py:585-717) --------------------------------------
+    n_epochs = cfg.train.n_epochs
+    try:
+        for epoch in range(next_epoch, n_epochs):
+            t0 = time.time()
+            lr = lr_fn(epoch)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr)
+            )
+            loss_sums, loss_counts = {}, 0
+            for i, batch in enumerate(data.train_loader.batches(epoch)):
+                device_batch = extract_device_batch(batch)
+                dropout_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.train.seed + 1), epoch * 100003 + i
+                )
+                state, metrics = train_step(
+                    state, put_batch(device_batch), dropout_rng
+                )
+                for k, v in metrics.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                loss_counts += 1
+
+            logs = {
+                "epoch": epoch,
+                "lr": lr,
+                "time_train_s": round(time.time() - t0, 2),
+            }
+            logs.update({
+                f"train_{k}": v / max(loss_counts, 1)
+                for k, v in loss_sums.items()
+            })
+
+            do_valid = (
+                epoch >= cfg.train.validation_skip * n_epochs
+                or (epoch + 1) % cfg.train.validation_force_interval == 0
+                or epoch == n_epochs - 1
+            )
+            if do_valid:
+                t1 = time.time()
+                logs.update(run_validation(epoch))
+                logs["time_valid_s"] = round(time.time() - t1, 2)
+
+                improved = checkpoint_helper.check_for_checkpoint(
+                    {k.replace("valid_", ""): v for k, v in logs.items()
+                     if isinstance(v, (int, float))}
+                )
+                skip_ckpt = epoch < cfg.train.checkpointing_skip * n_epochs
+                for metric in improved if not skip_ckpt else []:
+                    suffix = "best" if cfg.train.checkpointing_best_only \
+                        else f"epoch_{epoch:04d}"
+                    save_checkpoint(
+                        os.path.join(ckpt_dir, f"ckpt_{metric}_{suffix}"
+                                     ".msgpack"),
+                        state, epoch, logs,
+                    )
+
+            if (epoch + 1) % cfg.train.resume_ckpt_interval == 0 \
+                    or epoch == n_epochs - 1:
+                save_checkpoint(
+                    os.path.join(ckpt_dir, "ckpt_resume.msgpack"),
+                    state, epoch, logs,
+                )
+
+            csv_logger.log(logs)
+            if wandb is not None:
+                wandb.log(logs, step=epoch)
+            printable = {k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in logs.items()}
+            print(f"[emsanet-tpu] {printable}")
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        # error checkpoint + error.log (main.py:720-741)
+        err_path = os.path.join(
+            ckpt_dir, f"ckpt_error__epoch_{epoch:04d}.msgpack"
+        )
+        try:
+            save_checkpoint(err_path, state, epoch, {})
+        except Exception:
+            pass
+        with open(os.path.join(run_dir, "error.log"), "w") as fh:
+            fh.write(traceback.format_exc())
+        raise
+    finally:
+        csv_logger.write()
+
+    with open(os.path.join(run_dir, "finished"), "w") as fh:
+        fh.write("done\n")
+    print(f"[emsanet-tpu] finished: {run_dir}")
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Training subsystem tests: OneCycle parity vs torch, train step, DP mesh.
+
+The OneCycle schedule is locked against torch.optim.lr_scheduler.OneCycleLR
+(the reference steps it per epoch, lr_scheduler.py:22-31). The
+data-parallel test runs the full train step under shard_map on the
+8-device virtual CPU mesh and checks replica consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+from emsanet_tpu.datasets.metadata import get_metadata_config
+from emsanet_tpu.losses import get_total_loss_key
+from emsanet_tpu.models import EMSANet, init_model
+from emsanet_tpu.training import (
+    CheckpointHelper,
+    create_train_state,
+    get_optimizer,
+    load_checkpoint,
+    make_train_step,
+    onecycle_lr,
+    save_checkpoint,
+)
+from emsanet_tpu.training.optim import set_learning_rate
+
+
+def test_onecycle_matches_torch():
+    import torch
+
+    max_lr, total = 0.03, 50
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(model.parameters(), lr=max_lr)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=total, div_factor=25,
+        pct_start=0.1, anneal_strategy="cos", final_div_factor=1e4,
+    )
+    torch_lrs = []
+    for _ in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    ours = [onecycle_lr(e, max_lr, total) for e in range(total)]
+    np.testing.assert_allclose(ours, torch_lrs, rtol=1e-6)
+
+
+def _tiny_cfg(tasks=("semantic", "instance", "orientation", "scene")):
+    return EMSANetConfig(
+        model=ModelConfig(
+            tasks=tasks,
+            enable_panoptic=("instance" in tasks and "semantic" in tasks),
+            input_height=64,
+            input_width=64,
+            rgb_encoder_backbone="resnet18",
+            depth_encoder_backbone="resnet18",
+        ),
+        data=DataConfig(dataset="synthetic", batch_size=8),
+    ).validate()
+
+
+def _train_batch(cfg, n=8, seed=0):
+    """Synthetic collated train batch with multiscale targets."""
+    from emsanet_tpu.data import DataLoader
+    from emsanet_tpu.datasets.synthetic import SyntheticDataset
+    from emsanet_tpu.preprocessing import get_preprocessor
+    from emsanet_tpu.datasets.registry import derive_sample_keys
+    from emsanet_tpu.training.step import extract_device_batch
+
+    ds_config = get_metadata_config("nyuv2")
+    ds = SyntheticDataset(
+        split="train",
+        sample_keys=derive_sample_keys(
+            cfg.model.input_modalities, cfg.model.tasks, "train"
+        ),
+        n_samples=n,
+        height=cfg.model.input_height,
+        width=cfg.model.input_width,
+        dataset_config=ds_config,
+    )
+    ds.preprocessor = get_preprocessor(
+        cfg, ds_config, phase="train",
+        multiscale_downscales=cfg.model.side_output_downscales,
+    )
+    loader = DataLoader(ds, batch_size=n, shuffle=False, n_workers=1)
+    batch = next(loader.batches(0))
+    return extract_device_batch(batch)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = _tiny_cfg()
+    ds_config = get_metadata_config("nyuv2")
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    variables = init_model(model, jax.random.PRNGKey(0), train=True)
+    tx = get_optimizer(cfg.train)
+    state = create_train_state(model, variables, tx)
+    batch = _train_batch(cfg)
+    return cfg, model, state, batch
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    cfg, model, state, batch = tiny_setup
+    step = jax.jit(make_train_step(model, cfg))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfitting a fixed batch must descend
+    # all task losses present
+    for task_key in (
+        "semantic", "instance_center", "instance_offset",
+        "instance_orientation", "scene",
+    ):
+        assert get_total_loss_key(task_key) in metrics
+
+
+def test_lr_injection(tiny_setup):
+    cfg, model, state, batch = tiny_setup
+    state = state.replace(opt_state=set_learning_rate(state.opt_state, 0.005))
+    assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(
+        0.005
+    )
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    cfg, model, state, batch = tiny_setup
+    path = str(tmp_path / "ckpt_resume.msgpack")
+    save_checkpoint(path, state, epoch=7, logs={"valid_semantic_miou": 0.5})
+    restored, epoch, logs = load_checkpoint(path, state)
+    assert epoch == 7
+    assert logs["valid_semantic_miou"] == 0.5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+
+
+def test_checkpoint_helper_combined_metrics():
+    helper = CheckpointHelper(("miou", "miou+bacc", "mae"))
+    improved = helper.check_for_checkpoint(
+        {"miou": 0.5, "bacc": 0.7, "mae": 10.0}
+    )
+    assert set(improved) == {"miou", "miou+bacc", "mae"}
+    # mae is less-is-better: worse value must not improve
+    improved = helper.check_for_checkpoint(
+        {"miou": 0.4, "bacc": 0.9, "mae": 12.0}
+    )
+    assert "mae" not in improved
+    assert "miou" not in improved
+    assert "miou+bacc" in improved  # 0.4+0.9 > 0.5+0.7
+
+
+def test_data_parallel_train_step(tiny_setup):
+    from emsanet_tpu.parallel import (
+        create_mesh,
+        make_parallel_train_step,
+        replicate_state,
+        shard_batch,
+    )
+
+    cfg, model, state, batch = tiny_setup
+    n_dev = min(len(jax.devices()), 8)
+    mesh = create_mesh(n_dev)
+    pstep = make_parallel_train_step(model, cfg, None, mesh)
+
+    state_r = replicate_state(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    new_state, metrics = pstep(state_r, batch_s, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # replicated output state must be consistent across devices
+    leaf = jax.tree.leaves(new_state.params)[0]
+    gathered = np.asarray(leaf)
+    assert np.isfinite(gathered).all()
+
+    # a second step composes (jit cache path)
+    new_state2, metrics2 = pstep(new_state, batch_s, jax.random.PRNGKey(3))
+    assert float(metrics2["total_loss"]) < float(metrics["total_loss"]) * 10
