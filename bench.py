@@ -21,7 +21,7 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--batch-size", type=int, default=32)  # 630fps@32 vs 398@8 on v5e
     parser.add_argument("--warmup", type=int, default=20)
     parser.add_argument("--runs", type=int, default=80)
     parser.add_argument("--height", type=int, default=480)
