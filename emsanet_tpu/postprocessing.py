@@ -131,21 +131,21 @@ def group_pixels_to_instances(
     v = voted.reshape(n, h * w, 2)
     c = centers_yx.astype(jnp.float32)  # (N, K, 2)
 
-    v_sq = jnp.sum(v * v, axis=-1, keepdims=True)  # (N, HW, 1)
-    c_sq = jnp.sum(c * c, axis=-1)[:, None, :]  # (N, 1, K)
-    cross = jnp.einsum(
-        "npc,nkc->npk", v, c, preferred_element_type=jnp.float32
+    # hot op: Pallas kernel on TPU streams the (HW, K) distances through
+    # VMEM; jnp fallback materializes them in HBM (CPU / debugging)
+    from emsanet_tpu.ops.grouping import (
+        group_pixels_argmin,
+        group_pixels_argmin_reference,
     )
-    dist_sq = v_sq - 2.0 * cross + c_sq  # (N, HW, K)
 
-    big = jnp.float32(1e12)
-    dist_sq = jnp.where(centers_valid[:, None, :], dist_sq, big)
+    if jax.default_backend() == "tpu":
+        best, best_d = group_pixels_argmin(v, c, centers_valid)
+    else:
+        best, best_d = group_pixels_argmin_reference(v, c, centers_valid)
 
-    best = jnp.argmin(dist_sq, axis=-1).astype(jnp.int32)  # (N, HW)
     instance_id = best + 1
     any_valid = jnp.any(centers_valid, axis=-1)[:, None]
     if offset_distance_threshold is not None:
-        best_d = jnp.min(dist_sq, axis=-1)
         near = best_d <= jnp.float32(offset_distance_threshold) ** 2
         instance_id = jnp.where(near, instance_id, 0)
     instance_id = jnp.where(any_valid, instance_id, 0)

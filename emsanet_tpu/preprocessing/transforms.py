@@ -41,6 +41,13 @@ def _rng_of(sample: dict) -> np.random.Generator:
 
 
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    if img.ndim == 2 and img.dtype in (np.int32, np.int64, np.uint8,
+                                       np.uint16):
+        from emsanet_tpu import native
+
+        out = native.resize_nearest_i32(img.astype(np.int32), h, w)
+        if out is not None:
+            return out.astype(img.dtype)
     ih, iw = img.shape[:2]
     ys = np.minimum((np.arange(h) + 0.5) * ih / h, ih - 1).astype(np.int64)
     xs = np.minimum((np.arange(w) + 0.5) * iw / w, iw - 1).astype(np.int64)
@@ -51,6 +58,12 @@ def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
     ih, iw = img.shape[:2]
     if (ih, iw) == (h, w):
         return img
+    if img.dtype in (np.float32, np.uint8) and img.ndim <= 3:
+        from emsanet_tpu import native
+
+        out = native.resize_bilinear_f32(img.astype(np.float32), h, w)
+        if out is not None:
+            return out
     ys = np.clip((np.arange(h) + 0.5) * ih / h - 0.5, 0, ih - 1)
     xs = np.clip((np.arange(w) + 0.5) * iw / w - 0.5, 0, iw - 1)
     y0 = np.floor(ys).astype(np.int64)
@@ -339,6 +352,14 @@ def _instance_targets(
     normalized_offset: bool,
 ) -> Dict[str, np.ndarray]:
     """Gaussian center heatmap + offsets (Panoptic-DeepLab targets, M9)."""
+    from emsanet_tpu import native
+
+    native_out = native.instance_targets(
+        semantic, instance, is_thing, sigma, normalized_offset
+    )
+    if native_out is not None:
+        return native_out
+
     h, w = instance.shape
     center = np.zeros((h, w), np.float32)
     offset = np.zeros((h, w, 2), np.float32)
@@ -500,7 +521,15 @@ class MultiscaleSupervisionGenerator:
 class NormalizeRGB:
     def __call__(self, sample: dict) -> dict:
         if "rgb" in sample:
-            rgb = sample["rgb"].astype(np.float32) / 255.0
+            rgb = sample["rgb"]
+            if rgb.dtype == np.uint8 and rgb.ndim == 3 and rgb.shape[-1] == 3:
+                from emsanet_tpu import native
+
+                out = native.normalize_rgb(rgb, RGB_MEAN, RGB_STD)
+                if out is not None:
+                    sample["rgb"] = out
+                    return sample
+            rgb = rgb.astype(np.float32) / 255.0
             sample["rgb"] = (rgb - RGB_MEAN) / RGB_STD
         return sample
 

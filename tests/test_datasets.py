@@ -1,0 +1,135 @@
+"""Dataset interface tests.
+
+Analog of the reference's tests/test_interface_dataset.py (SURVEY.md §4):
+iteration, caching (bit-identical repeats), camera filtering, concat
+datasets, class-weight computation, prepared-layout round trip.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from emsanet_tpu.datasets.base import ConcatDataset
+from emsanet_tpu.datasets.disk import PreparedDataset
+from emsanet_tpu.datasets.metadata import get_metadata_config
+from emsanet_tpu.datasets.synthetic import SyntheticDataset
+
+
+def test_synthetic_sample_contract():
+    ds = SyntheticDataset(n_samples=3, height=64, width=96)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["rgb"].shape == (64, 96, 3) and s["rgb"].dtype == np.uint8
+    assert s["depth"].shape == (64, 96)
+    assert s["semantic"].max() <= 40
+    assert (np.unique(s["instance"]) >= 0).all()
+    assert isinstance(s["orientations"], dict)
+    assert s["identifier"].to_filename() == "train__0000"
+
+
+def test_cache_bit_identical():
+    ds = SyntheticDataset(n_samples=2, height=32, width=32, use_cache=True)
+    a = ds.load_raw(0)
+    b = ds.load_raw(0)
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # cache returns copies: mutating one must not affect the other
+    b["rgb"][:] = 0
+    c = ds.load_raw(0)
+    assert c["rgb"].max() > 0
+
+
+def test_class_weights_modes():
+    ds = SyntheticDataset(n_samples=4, height=32, width=32)
+    for mode in ("median-frequency", "logarithmic", "linear", "none"):
+        w = ds.semantic_compute_class_weights(weight_mode=mode)
+        assert w.shape == (40,)
+        assert (w >= 0).all()
+    with pytest.raises(ValueError):
+        ds.semantic_compute_class_weights(weight_mode="bogus")
+
+
+def test_concat_dataset():
+    a = SyntheticDataset(split="train", n_samples=3, height=32, width=32)
+    b = SyntheticDataset(split="train", n_samples=2, height=32, width=32)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 5
+    s_last = cat.load_raw(4)
+    np.testing.assert_array_equal(s_last["rgb"], b.load_raw(1)["rgb"])
+
+
+def _write_prepared(tmp_path, n=3, cameras=("kv1", "kv2")):
+    from PIL import Image
+
+    split_dir = tmp_path / "test"
+    cam_map = {}
+    for sub in ("rgb", "depth", "semantic_40", "instance", "orientations",
+                "scene_class"):
+        os.makedirs(split_dir / sub, exist_ok=True)
+    for i in range(n):
+        sid = f"{i:04d}"
+        Image.fromarray(
+            np.full((24, 32, 3), i * 10, np.uint8)
+        ).save(split_dir / "rgb" / f"{sid}.png")
+        Image.fromarray(
+            np.full((24, 32), 1000 + i, np.uint16)
+        ).save(split_dir / "depth" / f"{sid}.png")
+        Image.fromarray(
+            np.full((24, 32), (i % 40) + 1, np.uint8)
+        ).save(split_dir / "semantic_40" / f"{sid}.png")
+        Image.fromarray(
+            np.zeros((24, 32), np.uint16)
+        ).save(split_dir / "instance" / f"{sid}.png")
+        with open(split_dir / "orientations" / f"{sid}.json", "w") as fh:
+            json.dump({"1": 0.5}, fh)
+        with open(split_dir / "scene_class" / f"{sid}.txt", "w") as fh:
+            fh.write(str(i % 3 + 1))
+        cam_map[sid] = cameras[i % len(cameras)]
+    with open(split_dir / "cameras.json", "w") as fh:
+        json.dump(cam_map, fh)
+    return str(tmp_path)
+
+
+def test_prepared_dataset_roundtrip(tmp_path):
+    root = _write_prepared(tmp_path)
+    ds = PreparedDataset(
+        dataset_path=root, dataset_name="nyuv2", split="test",
+        sample_keys=("identifier", "rgb", "depth", "semantic", "instance",
+                     "orientations", "scene"),
+    )
+    assert len(ds) == 3
+    assert set(ds.cameras) == {"kv1", "kv2"}
+    s = ds.load_raw(1)
+    assert s["rgb"][0, 0, 0] == 10
+    assert s["depth"][0, 0] == 1001
+    assert s["semantic"][0, 0] == 2
+    assert s["orientations"] == {1: 0.5}
+    assert s["scene"] == 2
+
+    # camera filtering (per-camera validation, emsanet/data.py:483-487)
+    ds_kv1 = PreparedDataset(
+        dataset_path=root, dataset_name="nyuv2", split="test",
+        sample_keys=("identifier", "rgb"),
+    ).filter_camera("kv1")
+    assert len(ds_kv1) == 2  # samples 0 and 2
+
+
+def test_prepared_dataset_missing_split(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        PreparedDataset(
+            dataset_path=str(tmp_path), dataset_name="nyuv2", split="test",
+            sample_keys=("rgb",),
+        )
+
+
+def test_metadata_configs_complete():
+    for name in ("nyuv2", "sunrgbd", "cityscapes", "hypersim", "scannet",
+                 "scenenetrgbd", "coco", "synthetic"):
+        config = get_metadata_config(name)
+        assert config.semantic_label_list[0].class_name == "void"
+        assert not config.semantic_label_list[0].is_thing
+        assert config.n_semantic_classes_without_void >= 19
+        assert config.depth_stats.std > 0
+    assert get_metadata_config("nyuv2").n_semantic_classes_without_void == 40
+    assert get_metadata_config("sunrgbd").n_semantic_classes_without_void == 37
