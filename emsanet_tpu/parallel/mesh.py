@@ -98,7 +98,8 @@ def make_parallel_train_step(model, cfg, class_weights, mesh: Mesh):
             out_specs=(P(), P()),
             check_rep=False,
         )
-        return jax.jit(mapped)
+        # donate the replicated state buffers (in-place update across steps)
+        return jax.jit(mapped, donate_argnums=0)
 
     def step(state, batch, rng):
         leaves, treedef = jax.tree.flatten(batch)

@@ -36,6 +36,39 @@ def _valid_slice(batch, arr):
     return arr[np.asarray(mask)]
 
 
+def _resize_ids_nearest(ids: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Nearest resize of an id map (host-side, native-accelerated)."""
+    if ids.shape == (oh, ow):
+        return ids
+    from emsanet_tpu import native
+
+    out = native.resize_nearest_i32(ids.astype(np.int32), oh, ow)
+    if out is not None:
+        return out.astype(ids.dtype)
+    ih, iw = ids.shape
+    ys = np.minimum((np.arange(oh) + 0.5) * ih / oh, ih - 1).astype(np.int64)
+    xs = np.minimum((np.arange(ow) + 0.5) * iw / ow, iw - 1).astype(np.int64)
+    return ids[ys][:, xs]
+
+
+def _pred_at_gt_resolution(batch, pred_ids: np.ndarray, gt_key: str):
+    """(pred_fullres, gt_fullres) pairs per sample.
+
+    Reference protocol (SURVEY.md M6/M9 FullResCloner): predictions are
+    resized back to the native resolution recorded by the preprocessing
+    trace and scored against the '<key>_fullres' targets when present.
+    """
+    gt_full = batch.get(f"{gt_key}_fullres")
+    if gt_full is None:
+        return pred_ids, np.asarray(batch[gt_key])
+    gt_full = np.asarray(gt_full)
+    oh, ow = gt_full.shape[-2:]
+    pred_full = np.stack(
+        [_resize_ids_nearest(p, oh, ow) for p in pred_ids]
+    )
+    return pred_full, gt_full
+
+
 class TaskHelperBase:
     def initialize(self):
         pass
@@ -56,7 +89,7 @@ class SemanticTaskHelper(TaskHelperBase):
 
     def validation_step(self, batch, predictions):
         pred = np.asarray(predictions["semantic_segmentation_idx"]) + 1
-        target = np.asarray(batch["semantic"])
+        pred, target = _pred_at_gt_resolution(batch, pred, "semantic")
         self.miou.update(_valid_slice(batch, pred), _valid_slice(batch, target))
 
     def validation_epoch_end(self):
@@ -143,8 +176,10 @@ class PanopticTaskHelper(TaskHelperBase):
         valid = np.asarray(
             batch.get("_valid_mask", np.ones(pred_pan.shape[0], bool))
         )
-        if "panoptic" in batch:
-            gt_pan = np.asarray(batch["panoptic"])
+        if "panoptic" in batch or "panoptic_fullres" in batch:
+            pred_pan, gt_pan = _pred_at_gt_resolution(
+                batch, pred_pan, "panoptic"
+            )
         else:
             gt_pan = deeplab_merge_numpy(
                 np.asarray(batch["semantic"]), np.asarray(batch["instance"]),
@@ -153,7 +188,10 @@ class PanopticTaskHelper(TaskHelperBase):
         self.pq.update(pred_pan[valid], gt_pan[valid])
         # post-merge semantic mIoU (README 'mIoU after panoptic merge')
         sem_after = (pred_pan // LABEL_DIVISOR).astype(np.int32)
-        self.miou.update(sem_after[valid], np.asarray(batch["semantic"])[valid])
+        sem_gt = np.asarray(
+            batch.get("semantic_fullres", batch["semantic"])
+        )
+        self.miou.update(sem_after[valid], sem_gt[valid])
 
         if self.has_orientation and "orientations_instance" in predictions:
             self._update_orientation(batch, predictions, valid)

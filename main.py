@@ -117,6 +117,8 @@ def main(argv=None):
         class_weights = jnp.asarray(cw)
 
     # ----- model ------------------------------------------------------------
+    if cfg.train.mixed_precision and cfg.model.compute_dtype == "float32":
+        cfg.model.compute_dtype = "bfloat16"  # params/opt-state stay f32
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     rng = jax.random.PRNGKey(cfg.train.seed)
     variables = init_model(model, rng, train=True)
@@ -154,7 +156,10 @@ def main(argv=None):
         put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
         print(f"[emsanet-tpu] data parallel over {mesh.devices.size} devices")
     else:
-        train_step = jax.jit(make_train_step(model, cfg, class_weights))
+        # donate the state: params/opt-state buffers are reused in-place
+        train_step = jax.jit(
+            make_train_step(model, cfg, class_weights), donate_argnums=0
+        )
         put_batch = lambda b: b  # noqa: E731
 
     eval_step = jax.jit(make_eval_step(model, cfg, is_thing))
@@ -197,8 +202,13 @@ def main(argv=None):
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
     train_iter = data.train_loader.batches(0)
     sanity_batch = extract_device_batch(next(train_iter))
+    # the step donates its input state; sanity-check a copy so the real
+    # state stays untouched (reference sanity check has no side effects)
+    state_copy = jax.tree.map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state
+    )
     state_check, metrics = train_step(
-        state, put_batch(sanity_batch), dropout_rng
+        state_copy, put_batch(sanity_batch), dropout_rng
     )
     del state_check
     print(f"[emsanet-tpu] sanity train loss: "

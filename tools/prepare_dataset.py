@@ -1,0 +1,232 @@
+"""Dataset preparation CLI: convert raw distributions into the prepared
+on-disk layout consumed by `emsanet_tpu.datasets.disk.PreparedDataset`.
+
+TPU-native equivalent of the reference's `nicr_sa_prepare_dataset` CLI +
+`prepare_datasets.sh` (SURVEY.md D6/R16). This tool works fully offline on
+already-downloaded archives (this environment has no network egress):
+
+  nyuv2      from nyu_depth_v2_labeled.mat (+ splits.mat + an optional
+             894->40 class mapping .mat); writes rgb/depth/semantic_40/
+             instance/scene_class per split
+  synthetic  writes the synthetic dataset to disk in the prepared layout
+             (pipeline smoke testing without real data)
+
+Prepared layout (one directory per split):
+  <out>/<split>/rgb/<id>.png            HWC uint8
+  <out>/<split>/depth/<id>.png          HW uint16
+  <out>/<split>/semantic_40/<id>.png    HW uint8  (0 = void)
+  <out>/<split>/instance/<id>.png       HW uint16 (0 = no instance)
+  <out>/<split>/orientations/<id>.json  {"<instance_id>": yaw_rad}
+  <out>/<split>/scene_class/<id>.txt    class index (int)
+  <out>/<split>/cameras.json            {"<id>": "<camera>"} (optional)
+
+Usage:
+  python tools/prepare_dataset.py nyuv2 --mat nyu_depth_v2_labeled.mat \
+      --splits splits.mat --class-mapping classMapping40.mat --out ./datasets/nyuv2
+  python tools/prepare_dataset.py synthetic --out ./datasets/synthetic \
+      --n-train 16 --n-test 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _save_png(path, arr):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if arr.dtype == np.uint16:
+        Image.fromarray(arr, mode="I;16").save(path)
+    else:
+        Image.fromarray(arr).save(path)
+
+
+def prepare_nyuv2(mat_path, splits_path, class_mapping_path, out_dir):
+    """Convert the NYUv2 labeled .mat into the prepared layout.
+
+    The labeled distribution stores: images (HWC x N), rawDepths/depths
+    (float meters), labels (894-class), instances (per-label-instance
+    ids), scenes/sceneTypes. The 894->40 mapping comes from the standard
+    classMapping40.mat (mapClass field); without it, labels are written
+    as-is into semantic_raw/.
+    """
+    import h5py
+    from scipy import io as sio
+
+    print(f"reading {mat_path} ...")
+    f = h5py.File(mat_path, "r")
+    images = f["images"]  # (N, 3, W, H) in h5py order
+    depths = f["depths"]  # refined, meters
+    raw_depths = f.get("rawDepths", depths)
+    labels = f["labels"]  # 894-class
+    instances = f["instances"]
+    scenes = None
+    if "sceneTypes" in f:
+        refs = f["sceneTypes"][0]
+        scenes = [
+            "".join(chr(c[0]) for c in f[r][:]) for r in refs
+        ]
+
+    n = images.shape[0]
+
+    # splits: train/test indices (1-based in the official splits.mat)
+    if splits_path:
+        splits = sio.loadmat(splits_path)
+        train_idx = set(int(i) - 1 for i in splits["trainNdxs"].ravel())
+        test_idx = set(int(i) - 1 for i in splits["testNdxs"].ravel())
+    else:
+        train_idx = set(range(0, n, 2))
+        test_idx = set(range(1, n, 2))
+
+    mapping = None
+    if class_mapping_path:
+        m = sio.loadmat(class_mapping_path)
+        key = "mapClass" if "mapClass" in m else "className"
+        mapping = np.concatenate([[0], m[key].ravel()]).astype(np.int32)
+
+    scene_names = sorted(set(scenes)) if scenes else []
+    scene_index = {s: i + 1 for i, s in enumerate(scene_names)}
+
+    for i in range(n):
+        split = "train" if i in train_idx else (
+            "test" if i in test_idx else None
+        )
+        if split is None:
+            continue
+        sid = f"{i:04d}"
+        base = os.path.join(out_dir, split)
+
+        rgb = np.transpose(np.asarray(images[i]), (2, 1, 0)).astype(np.uint8)
+        _save_png(os.path.join(base, "rgb", f"{sid}.png"), rgb)
+
+        depth_m = np.transpose(np.asarray(depths[i]), (1, 0))
+        _save_png(
+            os.path.join(base, "depth", f"{sid}.png"),
+            np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16),
+        )
+        raw_m = np.transpose(np.asarray(raw_depths[i]), (1, 0))
+        _save_png(
+            os.path.join(base, "depth_raw", f"{sid}.png"),
+            np.clip(raw_m * 1000.0, 0, 65535).astype(np.uint16),
+        )
+
+        label = np.transpose(np.asarray(labels[i]), (1, 0)).astype(np.int32)
+        if mapping is not None:
+            label40 = mapping[np.clip(label, 0, len(mapping) - 1)]
+            _save_png(
+                os.path.join(base, "semantic_40", f"{sid}.png"),
+                label40.astype(np.uint8),
+            )
+        else:
+            _save_png(
+                os.path.join(base, "semantic_raw", f"{sid}.png"),
+                np.clip(label, 0, 65535).astype(np.uint16),
+            )
+
+        inst = np.transpose(np.asarray(instances[i]), (1, 0)).astype(np.int32)
+        # NYUv2 instances are per-class; combine to globally unique ids
+        combined = np.zeros_like(inst)
+        next_id = 1
+        for cls in np.unique(label[inst > 0]):
+            cls_mask = label == cls
+            for raw_id in np.unique(inst[cls_mask & (inst > 0)]):
+                combined[cls_mask & (inst == raw_id)] = next_id
+                next_id += 1
+        _save_png(
+            os.path.join(base, "instance", f"{sid}.png"),
+            np.clip(combined, 0, 65535).astype(np.uint16),
+        )
+
+        if scenes:
+            os.makedirs(os.path.join(base, "scene_class"), exist_ok=True)
+            with open(
+                os.path.join(base, "scene_class", f"{sid}.txt"), "w"
+            ) as fh:
+                fh.write(str(scene_index[scenes[i]]))
+        if i % 100 == 0:
+            print(f"  {i}/{n}")
+
+    if scene_names:
+        with open(os.path.join(out_dir, "scene_names.json"), "w") as fh:
+            json.dump(scene_names, fh, indent=2)
+    print(f"done: {out_dir}")
+
+
+def prepare_synthetic(out_dir, n_train, n_test, height, width):
+    from emsanet_tpu.datasets.synthetic import SyntheticDataset
+
+    for split, count in (("train", n_train), ("test", n_test)):
+        ds = SyntheticDataset(
+            split=split, n_samples=count, height=height, width=width,
+            sample_keys=("identifier", "rgb", "depth", "semantic",
+                         "instance", "orientations", "scene"),
+        )
+        base = os.path.join(out_dir, split)
+        for i in range(count):
+            s = ds.load_raw(i)
+            sid = f"{i:04d}"
+            _save_png(os.path.join(base, "rgb", f"{sid}.png"), s["rgb"])
+            _save_png(
+                os.path.join(base, "depth", f"{sid}.png"),
+                np.clip(s["depth"], 0, 65535).astype(np.uint16),
+            )
+            _save_png(
+                os.path.join(base, "semantic_40", f"{sid}.png"),
+                s["semantic"].astype(np.uint8),
+            )
+            _save_png(
+                os.path.join(base, "instance", f"{sid}.png"),
+                s["instance"].astype(np.uint16),
+            )
+            os.makedirs(os.path.join(base, "orientations"), exist_ok=True)
+            with open(
+                os.path.join(base, "orientations", f"{sid}.json"), "w"
+            ) as fh:
+                json.dump({str(k): v for k, v in s["orientations"].items()},
+                          fh)
+            os.makedirs(os.path.join(base, "scene_class"), exist_ok=True)
+            with open(
+                os.path.join(base, "scene_class", f"{sid}.txt"), "w"
+            ) as fh:
+                fh.write(str(s["scene"]))
+        print(f"wrote {count} {split} samples")
+    print(f"done: {out_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="dataset", required=True)
+
+    p_nyu = sub.add_parser("nyuv2")
+    p_nyu.add_argument("--mat", required=True,
+                       help="nyu_depth_v2_labeled.mat")
+    p_nyu.add_argument("--splits", default=None, help="splits.mat")
+    p_nyu.add_argument("--class-mapping", default=None,
+                       help="classMapping40.mat (894->40)")
+    p_nyu.add_argument("--out", required=True)
+
+    p_syn = sub.add_parser("synthetic")
+    p_syn.add_argument("--out", required=True)
+    p_syn.add_argument("--n-train", type=int, default=16)
+    p_syn.add_argument("--n-test", type=int, default=8)
+    p_syn.add_argument("--height", type=int, default=480)
+    p_syn.add_argument("--width", type=int, default=640)
+
+    ns = parser.parse_args(argv)
+    if ns.dataset == "nyuv2":
+        prepare_nyuv2(ns.mat, ns.splits, ns.class_mapping, ns.out)
+    elif ns.dataset == "synthetic":
+        prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
