@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--with-postprocessing", action="store_true",
                         help="include on-device postprocessing (the "
                         "reference baseline excludes it)")
+    parser.add_argument("--raw-inputs", action="store_true",
+                        help="feed uint8 RGB + raw depth; normalization "
+                        "fused on-device (deployment-realistic path)")
     parser.add_argument("--quick", action="store_true",
                         help="small config for smoke testing")
     parser.add_argument("--dtype", default="bfloat16")
@@ -66,8 +69,15 @@ def main():
 
     n, h, w = args.batch_size, args.height, args.width
     rng = np.random.RandomState(0)
-    rgb = jnp.asarray(rng.randn(n, h, w, 3), jnp.float32)
-    depth = jnp.asarray(rng.randn(n, h, w, 1), jnp.float32)
+    if args.raw_inputs:
+        from emsanet_tpu.ops.device_prep import prepare_inputs_device
+
+        rgb = jnp.asarray(rng.randint(0, 256, (n, h, w, 3)), jnp.uint8)
+        depth = jnp.asarray(rng.randint(0, 10000, (n, h, w, 1)), jnp.uint16)
+        stats = ds_config.depth_stats
+    else:
+        rgb = jnp.asarray(rng.randn(n, h, w, 3), jnp.float32)
+        depth = jnp.asarray(rng.randn(n, h, w, 1), jnp.float32)
 
     # Timing note: on the tunneled 'axon' backend, block_until_ready does
     # not actually wait for execution; only a device->host readback does,
@@ -75,28 +85,23 @@ def main():
     # therefore returns a 4-byte scalar depending on every output, and we
     # time two different queue lengths — the difference cancels the
     # constant dispatch+readback overhead and yields pure device time.
-    if args.with_postprocessing:
-        @jax.jit
-        def fn(params, batch_stats, rgb, depth):
-            outputs = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                {"rgb": rgb, "depth": depth}, train=False,
+    @jax.jit
+    def fn(params, batch_stats, rgb, depth):
+        batch = {"rgb": rgb, "depth": depth}
+        if args.raw_inputs:
+            batch = prepare_inputs_device(
+                batch, stats.mean, stats.std, raw_depth=False
             )
-            preds = postprocess(outputs, is_thing, cfg.model)
-            leaves = [p.astype(jnp.float32).reshape(-1)[0]
-                      for p in jax.tree.leaves(preds)]
-            return sum(leaves)
-    else:
-        @jax.jit
-        def fn(params, batch_stats, rgb, depth):
-            # baseline protocol: raw network outputs, no postprocessing
-            outputs = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                {"rgb": rgb, "depth": depth}, train=False,
-            )
-            leaves = [p.astype(jnp.float32).reshape(-1)[0]
-                      for p in jax.tree.leaves(outputs)]
-            return sum(leaves)
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=False,
+        )
+        if args.with_postprocessing:
+            outputs = postprocess(outputs, is_thing, cfg.model)
+        # baseline protocol default: raw network outputs, no postprocessing
+        leaves = [p.astype(jnp.float32).reshape(-1)[0]
+                  for p in jax.tree.leaves(outputs)]
+        return sum(leaves)
 
     params, batch_stats = variables["params"], variables.get("batch_stats")
 

@@ -45,16 +45,19 @@ class SEFusion(nn.Module):
 
     use_se: bool = True
     activation: str = "relu"
+    he_init: bool = True  # reference default he_init=('encoder-fusion',)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, main: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
         if self.use_se:
             main = SqueezeExcitation(
-                activation=self.activation, dtype=self.dtype, name="se_main"
+                activation=self.activation, he_init=self.he_init,
+                dtype=self.dtype, name="se_main",
             )(main)
             other = SqueezeExcitation(
-                activation=self.activation, dtype=self.dtype, name="se_other"
+                activation=self.activation, he_init=self.he_init,
+                dtype=self.dtype, name="se_other",
             )(other)
         return main + other
 
@@ -120,6 +123,7 @@ class FusedEncoder(nn.Module):
                 SEFusion(
                     use_se=use_se,
                     activation=cfg.activation,
+                    he_init="encoder-fusion" in cfg.he_init,
                     dtype=dtype,
                     name=f"fusion{i}",
                 )

@@ -23,6 +23,12 @@ from flax import linen as nn
 Dtype = Any
 ModuleDef = Any
 
+# He (kaiming-normal, fan-in, relu gain) initialization — the reference
+# whitelists parts of the network for it (`he_initialization`,
+# emsanet/model.py:163-186); flax's default elsewhere is lecun_normal.
+he_normal_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+default_init = nn.initializers.lecun_normal()
+
 
 def get_activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Activation registry (reference `get_activation_class`, args.py:111)."""
@@ -96,6 +102,7 @@ class SqueezeExcitation(nn.Module):
 
     reduction: int = 16
     activation: str = "relu"
+    he_init: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,9 +110,10 @@ class SqueezeExcitation(nn.Module):
         c = x.shape[-1]
         squeezed = jnp.mean(x, axis=(1, 2))  # NHWC -> NC
         hidden = max(c // self.reduction, 1)
-        s = nn.Dense(hidden, dtype=self.dtype)(squeezed)
+        init = he_normal_init if self.he_init else default_init
+        s = nn.Dense(hidden, dtype=self.dtype, kernel_init=init)(squeezed)
         s = get_activation_fn(self.activation)(s)
-        s = nn.Dense(c, dtype=self.dtype)(s)
+        s = nn.Dense(c, dtype=self.dtype, kernel_init=init)(s)
         gate = jax.nn.sigmoid(s)
         return x * gate[:, None, None, :].astype(x.dtype)
 

@@ -349,6 +349,7 @@ def postprocess(
     is_thing: jnp.ndarray,
     cfg=None,
     gt_foreground: Optional[jnp.ndarray] = None,
+    use_orientations: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full postprocessing over raw model outputs (flat key contract §3.4).
 
@@ -436,6 +437,17 @@ def postprocess(
             )
             results["orientations_instance"] = ors["instance_orientations"]
             results["instance_orientation"] = outputs["instance"]["orientation"]
+            # reference: orientations only for classes flagged
+            # use_orientations (SURVEY.md M6 'semantic_class_has_orientation')
+            if (
+                use_orientations is not None
+                and "panoptic_instance_meta_semantic_idx" in results
+            ):
+                inst_sem = results["panoptic_instance_meta_semantic_idx"]
+                results["orientations_panoptic_instance_valid"] = (
+                    use_orientations[inst_sem]
+                    & results["panoptic_instance_meta_valid"]
+                )
 
     if "normal" in outputs:
         results["normal"] = outputs["normal"]["normal"]

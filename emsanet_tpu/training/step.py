@@ -222,17 +222,35 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, cfg, is_thing: jnp.ndarray):
-    """Forward + full postprocessing, jittable (validation hot path)."""
+def make_eval_step(
+    model,
+    cfg,
+    is_thing: jnp.ndarray,
+    depth_stats: Optional[Tuple[float, float]] = None,
+    raw_depth: bool = False,
+    use_orientations: Optional[jnp.ndarray] = None,
+):
+    """Forward + full postprocessing, jittable (validation hot path).
+
+    With `depth_stats` set, raw uint8 RGB / raw depth inputs are
+    normalized on-device (fused into the first conv; ops/device_prep.py).
+    """
+    from emsanet_tpu.ops.device_prep import prepare_inputs_device
     from emsanet_tpu.postprocessing import postprocess
 
     def eval_step(params, batch_stats, batch):
+        if depth_stats is not None:
+            batch = prepare_inputs_device(
+                batch, depth_stats[0], depth_stats[1], raw_depth
+            )
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch,
             train=False,
         )
-        preds = postprocess(outputs, is_thing, cfg.model)
+        preds = postprocess(
+            outputs, is_thing, cfg.model, use_orientations=use_orientations
+        )
         return preds
 
     return eval_step

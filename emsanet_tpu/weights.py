@@ -188,3 +188,115 @@ def convert_torch_state_dict(
             torch_name, state_dict[torch_name]
         )
     return out
+
+
+def resnet_torch_name_map(
+    prefix: str,
+    stage_blocks: Tuple[int, ...],
+    bottleneck: bool = False,
+) -> Dict[str, Tuple[str, ...]]:
+    """torchvision-style ResNet state-dict names -> our backbone paths.
+
+    Supports ImageNet initialization of the basicblock/bottleneck encoder
+    variants (reference `pretrained=...`, emsanet/model.py:56). Keys are
+    split into params ('.weight'/'.bias' of convs/bns) and batch_stats
+    ('running_mean'/'running_var'); the caller routes by suffix.
+    """
+    m: Dict[str, Tuple[str, ...]] = {}
+
+    def bn(torch_prefix, flax_path):
+        m[f"{torch_prefix}.weight"] = flax_path + ("scale",)
+        m[f"{torch_prefix}.bias"] = flax_path + ("bias",)
+        m[f"{torch_prefix}.running_mean"] = flax_path + ("mean",)
+        m[f"{torch_prefix}.running_var"] = flax_path + ("var",)
+
+    stem = (f"{prefix}_stem",)
+    m["conv1.weight"] = stem + ("Conv_0", "kernel")
+    bn("bn1", stem + ("Norm_0", "BatchNorm_0"))
+
+    for li, n_blocks in enumerate(stage_blocks):
+        for b in range(n_blocks):
+            t = f"layer{li + 1}.{b}"
+            f = (f"{prefix}_stage{li}", f"block{b}")
+            if bottleneck:
+                m[f"{t}.conv1.weight"] = f + ("ConvNormAct_0", "Conv_0",
+                                              "kernel")
+                bn(f"{t}.bn1", f + ("ConvNormAct_0", "Norm_0", "BatchNorm_0"))
+                m[f"{t}.conv2.weight"] = f + ("ConvNormAct_1", "Conv_0",
+                                              "kernel")
+                bn(f"{t}.bn2", f + ("ConvNormAct_1", "Norm_0", "BatchNorm_0"))
+                m[f"{t}.conv3.weight"] = f + ("Conv_0", "kernel")
+                bn(f"{t}.bn3", f + ("Norm_0", "BatchNorm_0"))
+            else:
+                m[f"{t}.conv1.weight"] = f + ("ConvNormAct_0", "Conv_0",
+                                              "kernel")
+                bn(f"{t}.bn1", f + ("ConvNormAct_0", "Norm_0", "BatchNorm_0"))
+                m[f"{t}.conv2.weight"] = f + ("Conv_0", "kernel")
+                bn(f"{t}.bn2", f + ("Norm_0", "BatchNorm_0"))
+            m[f"{t}.downsample.0.weight"] = f + ("Conv_1", "kernel")
+            bn(f"{t}.downsample.1", f + ("Norm_1", "BatchNorm_0"))
+    return m
+
+
+def load_backbone_pretrained(
+    state,
+    filepath: str,
+    modality: str,
+    backbone_name: str,
+    verbose: bool = True,
+):
+    """Initialize one encoder backbone from a torch ResNet checkpoint.
+
+    The depth stem (1 input channel) sums the RGB filters of conv1 — the
+    standard single-channel adaptation the reference family uses for the
+    depth encoder. Only matching shapes are copied; NBt1D backbones need
+    NBt1D-pretrained checkpoints (shape mismatches are reported+skipped).
+    """
+    import torch
+
+    from emsanet_tpu.models.backbone import get_backbone_spec
+
+    raw = torch.load(filepath, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+
+    spec = get_backbone_spec(backbone_name)
+    name_map = resnet_torch_name_map(
+        modality, spec.stage_blocks, spec.bottleneck
+    )
+    converted = convert_torch_state_dict(raw, name_map)
+
+    params = {k: np.asarray(v) for k, v in _flatten(dict(state.params)).items()}
+    stats = {
+        k: np.asarray(v)
+        for k, v in _flatten(dict(state.batch_stats)).items()
+    }
+    print_ = print if verbose else (lambda *a, **k: None)
+    n_loaded = 0
+    for path, value in converted.items():
+        full = ("encoder",) + path
+        is_stat = path[-1] in ("mean", "var")
+        target = stats if is_stat else params
+        if full not in target:
+            continue
+        if value.shape != target[full].shape:
+            # depth stem: 3-channel conv1 -> 1-channel (sum over input)
+            if (
+                path[-1] == "kernel"
+                and value.ndim == 4
+                and value.shape[:2] == target[full].shape[:2]
+                and target[full].shape[2] == 1
+                and value.shape[2] == 3
+            ):
+                value = value.sum(axis=2, keepdims=True)
+            else:
+                print_(f"[weights] skip {'/'.join(full)}: {value.shape} vs "
+                       f"{target[full].shape}")
+                continue
+        target[full] = value.astype(target[full].dtype)
+        n_loaded += 1
+    print_(f"[weights] backbone '{modality}': loaded {n_loaded} tensors "
+           f"from {filepath}")
+    return state.replace(
+        params=_unflatten(params), batch_stats=_unflatten(stats)
+    )

@@ -127,6 +127,21 @@ def main(argv=None):
     next_epoch = 0
     logs_history = {}
 
+    # ImageNet-pretrained encoder init (emsanet/model.py:56-57,72-73)
+    from emsanet_tpu.weights import load_backbone_pretrained
+
+    if cfg.model.rgb_encoder_backbone_pretrained_weights_filepath:
+        state = load_backbone_pretrained(
+            state, cfg.model.rgb_encoder_backbone_pretrained_weights_filepath,
+            "rgb", cfg.model.rgb_encoder_backbone,
+        )
+    if cfg.model.depth_encoder_backbone_pretrained_weights_filepath:
+        state = load_backbone_pretrained(
+            state,
+            cfg.model.depth_encoder_backbone_pretrained_weights_filepath,
+            "depth", cfg.model.depth_encoder_backbone,
+        )
+
     if cfg.train.weights_filepath:
         from emsanet_tpu.weights import load_weights_file
 
@@ -162,7 +177,13 @@ def main(argv=None):
         )
         put_batch = lambda b: b  # noqa: E731
 
-    eval_step = jax.jit(make_eval_step(model, cfg, is_thing))
+    use_orientations = jnp.asarray(
+        ds_config.semantic_label_list.classes_use_orientations
+    )
+    eval_step = jax.jit(
+        make_eval_step(model, cfg, is_thing,
+                       use_orientations=use_orientations)
+    )
     task_helpers = get_task_helpers(cfg, ds_config)
     lr_fn = get_lr_fn(cfg.train)
     checkpoint_helper = CheckpointHelper(
