@@ -83,6 +83,25 @@ def mse_center(
     return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m) * sq.shape[-1], 1e-12)
 
 
+def bce_center(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Binary cross entropy on the (sigmoid-encoded) center heatmap
+    (args.py:753 'bce' alternative to 'mse')."""
+    p = jnp.clip(pred.astype(jnp.float32), eps, 1.0 - eps)
+    t = target.astype(jnp.float32)
+    bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    if mask is None:
+        return jnp.mean(bce)
+    m = mask.astype(jnp.float32)
+    if m.ndim == bce.ndim - 1:
+        m = m[..., None]
+    return jnp.sum(bce * m) / jnp.maximum(jnp.sum(m) * bce.shape[-1], 1e-12)
+
+
 def l1_offset(
     pred: jnp.ndarray,
     target: jnp.ndarray,

@@ -612,6 +612,23 @@ def get_preprocessor(
     if keep_raw_inputs or getattr(cfg.train, "visualize_validation", False):
         transforms.append(CloneEntries())
 
+    # ScanNet benchmark mode: map ignored classes to void for validation
+    # (emsanet/preprocessing.py:52-73)
+    if phase == "test" and d.validation_scannet_benchmark_mode:
+        from emsanet_tpu.datasets import scannet as scannet_meta
+
+        assert d.scannet_semantic_n_classes in (40, 549)
+        mapping = (
+            scannet_meta.SEMANTIC_CLASSES_40_MAPPING_TO_BENCHMARK
+            if d.scannet_semantic_n_classes == 40
+            else scannet_meta.SEMANTIC_CLASSES_549_MAPPING_TO_BENCHMARK200
+        )
+        transforms.append(
+            SemanticClassMapper(
+                scannet_meta.classes_to_ignore(mapping), new_label=0
+            )
+        )
+
     if sunrgbd_combined:
         # SUNRGB-D combined with nyuv2/hypersim/scannet: ignore last 3
         # classes (preprocessing.py:75-87)

@@ -24,6 +24,7 @@ import optax
 from flax import core, struct
 
 from emsanet_tpu.losses import (
+    bce_center,
     build_loss_weighting,
     cross_entropy_scene,
     cross_entropy_semantic,
@@ -87,6 +88,7 @@ def compute_losses(
     side_output_downscales: Tuple[int, ...] = (32, 16, 8),
     orientation_kappa: float = 1.0,
     label_smoothing: float = 0.0,
+    instance_center_loss: str = "mse",
 ) -> Dict[str, jnp.ndarray]:
     """Per-task total losses keyed by `get_total_loss_key` names.
 
@@ -115,7 +117,9 @@ def compute_losses(
 
     if "instance" in outputs and "instance_center" in batch:
         inst = outputs["instance"]
-        center_total = mse_center(
+        center_loss_fn = bce_center if instance_center_loss == "bce" \
+            else mse_center
+        center_total = center_loss_fn(
             inst["center"], batch["instance_center"],
             batch.get("instance_center_mask"),
         )
@@ -135,7 +139,7 @@ def compute_losses(
             sub = down(s)
             if "instance_center" not in sub:
                 continue
-            center_total = center_total + mse_center(
+            center_total = center_total + center_loss_fn(
                 side[..., 0:1], sub["instance_center"],
                 sub.get("instance_center_mask"),
             )
@@ -200,6 +204,7 @@ def make_train_step(
             side_output_downscales=side_downscales,
             orientation_kappa=cfg.train.orientation_kappa,
             label_smoothing=cfg.train.label_smoothing,
+            instance_center_loss=cfg.train.instance_center_loss,
         )
         total = loss_weighting.reduce_losses(losses)
         return total, (losses, mutated["batch_stats"])

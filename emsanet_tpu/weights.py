@@ -86,6 +86,28 @@ def merge_loaded_params(
         # semantic head 37 <-> 40 channel reconciliation (wts.py:93-119)
         if _is_semantic_head(key):
             out_axis = _output_axis(value.shape, tgt.shape)
+            # ScanNet benchmark reduction 40->20 / 549->200: keep only the
+            # benchmark classes' channels (weights.py:121-147)
+            if out_axis is not None and (
+                (value.shape[out_axis], tgt.shape[out_axis]) in
+                ((40, 20), (549, 200))
+            ):
+                from emsanet_tpu.datasets import scannet as scannet_meta
+
+                mapping = (
+                    scannet_meta.SEMANTIC_CLASSES_40_MAPPING_TO_BENCHMARK
+                    if value.shape[out_axis] == 40
+                    else scannet_meta
+                    .SEMANTIC_CLASSES_549_MAPPING_TO_BENCHMARK200
+                )
+                mask = np.array(
+                    [mapping[c] != 0 for c in range(1, value.shape[out_axis] + 1)]
+                )
+                out[key] = np.take(value, np.flatnonzero(mask), axis=out_axis)
+                print_(f"[weights] scannet benchmark reduction for "
+                       f"{'/'.join(key)}: {value.shape} -> "
+                       f"{out[key].shape}")
+                continue
             if out_axis is not None:
                 n_src = value.shape[out_axis]
                 n_tgt = tgt.shape[out_axis]

@@ -33,6 +33,9 @@ def _parse(argv=None):
     g.add_argument("--sweep", action="store_true",
                    help="sweep batch sizes x dtypes (inference_time.bash)")
     g.add_argument("--csv", default=None, help="write sweep results here")
+    g.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the timed region "
+                   "(view with tensorboard/xprof)")
     ns = parser.parse_args(argv)
     return args_to_config(ns), ns
 
@@ -96,11 +99,19 @@ def main(argv=None):
         else [(ns.time_batch_size, cfg.model.compute_dtype)]
     )
     rows = []
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(ns.profile_dir)
+        if ns.profile_dir else contextlib.nullcontext()
+    )
     for batch_size, dtype in configs:
-        fps, fps_std, sec = time_configuration(
-            cfg, batch_size, dtype, ns.with_postprocessing,
-            ns.n_runs, ns.n_runs_warmup,
-        )
+        with profile_ctx:
+            fps, fps_std, sec = time_configuration(
+                cfg, batch_size, dtype, ns.with_postprocessing,
+                ns.n_runs, ns.n_runs_warmup,
+            )
+        profile_ctx = contextlib.nullcontext()  # profile first config only
         row = {
             "device": device,
             "batch_size": batch_size,
