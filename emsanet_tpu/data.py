@@ -13,8 +13,8 @@ reference relies on torch DataLoader processes), batches are fixed-shape
 
 from __future__ import annotations
 
-import queue
-import threading
+
+
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 

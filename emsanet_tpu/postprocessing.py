@@ -26,7 +26,7 @@ Output key contract follows SURVEY.md §3.4.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -375,14 +375,33 @@ def postprocess(
         semantic_score = sem["score"]
 
     if "instance" in outputs:
-        if gt_foreground is not None:
-            foreground = gt_foreground.astype(bool)
-        elif semantic_full is not None:
+        if semantic_full is not None:
             foreground = is_thing[semantic_full]
         else:
             foreground = jnp.ones(
                 outputs["instance"]["center"].shape[:3], bool
             )
+        if gt_foreground is not None:
+            # GT-foreground variant for the instance-only metrics
+            # (reference 'instance_segmentation_gt_foreground', §3.4)
+            inst_gt_fg = postprocess_instance(
+                outputs["instance"]["center"],
+                outputs["instance"]["offset"],
+                gt_foreground.astype(bool),
+                threshold=cfg.instance_center_heatmap_threshold,
+                nms_kernel_size=cfg.instance_center_heatmap_nms_kernel_size,
+                top_k=cfg.instance_center_heatmap_top_k,
+                apply_foreground_mask_to_heatmap=(
+                    cfg.instance_center_heatmap_apply_foreground_mask
+                ),
+                normalized_offset=cfg.instance_normalized_offset,
+                offset_distance_threshold=(
+                    cfg.instance_offset_distance_threshold
+                ),
+            )
+            results["instance_segmentation_gt_foreground"] = inst_gt_fg[
+                "segmentation"
+            ]
         inst = postprocess_instance(
             outputs["instance"]["center"],
             outputs["instance"]["offset"],

@@ -14,7 +14,7 @@ reproducible per (epoch, index) and safe under parallel workers.
 
 from __future__ import annotations
 
-import colorsys
+
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np

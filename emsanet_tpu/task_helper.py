@@ -129,7 +129,14 @@ class InstanceTaskHelper(TaskHelperBase):
         self.pq = PanopticQuality(2, (False, True))
 
     def validation_step(self, batch, predictions):
-        inst_pred = np.asarray(predictions["instance_segmentation"])
+        # prefer the GT-foreground variant (reference protocol for the
+        # instance-only metric, SURVEY.md §3.4)
+        inst_pred = np.asarray(
+            predictions.get(
+                "instance_segmentation_gt_foreground",
+                predictions["instance_segmentation"],
+            )
+        )
         inst_gt = np.asarray(batch["instance"])
         sem_gt = np.asarray(batch["semantic"])
         thing_gt = self.is_thing[sem_gt]

@@ -250,11 +250,13 @@ def make_eval_step(
             )
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch,
+            {k: batch[k] for k in ("rgb", "depth") if k in batch},
             train=False,
         )
         preds = postprocess(
-            outputs, is_thing, cfg.model, use_orientations=use_orientations
+            outputs, is_thing, cfg.model,
+            gt_foreground=batch.get("instance_foreground"),
+            use_orientations=use_orientations,
         )
         return preds
 

@@ -200,7 +200,8 @@ def main(argv=None):
                 device_batch = extract_device_batch(batch)
                 preds = eval_step(
                     state.params, state.batch_stats,
-                    {k: device_batch[k] for k in ("rgb", "depth")
+                    {k: device_batch[k]
+                     for k in ("rgb", "depth", "instance_foreground")
                      if k in device_batch},
                 )
                 preds = jax.device_get(preds)
