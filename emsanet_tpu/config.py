@@ -153,6 +153,10 @@ class ModelConfig:
     # --- TPU-specific (no reference analog) ---
     # compute dtype for conv/matmul inside the network; params stay f32
     compute_dtype: str = "float32"  # 'bfloat16' for inference / mixed training
+    # rematerialize encoder stages + decoder modules in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(stage) activation
+    # memory — enables much larger per-chip batches
+    remat: bool = False
 
     @property
     def instance_normalized_offset(self) -> bool:

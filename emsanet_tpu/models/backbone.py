@@ -153,12 +153,14 @@ def make_backbone_stages(
     activation: str,
     dtype: Dtype,
     name_prefix: str,
+    remat: bool = False,
 ):
     """Build (stem, [stage0..stage3]) submodules for a backbone.
 
     Stage strides: stage0 keeps 1/4, stages 1-3 halve; with downsampling=16
     the final stage keeps its resolution (reduced-downsampling variant,
-    SURVEY.md M1 'resnet18-d16').
+    SURVEY.md M1 'resnet18-d16'). With `remat`, each stage is wrapped in
+    jax.checkpoint (activations recomputed in the backward pass).
     """
     # bottleneck backbones ignore a custom block choice for stages (the
     # reference's resnet50/101 are bottleneck-only)
@@ -170,8 +172,11 @@ def make_backbone_stages(
         name=f"{name_prefix}_stem",
     )
     strides = [1, 2, 2, 2 if spec.downsampling == 32 else 1]
+    stage_cls = (
+        nn.remat(ResNetStage, static_argnums=(2, 3)) if remat else ResNetStage
+    )
     stages = [
-        ResNetStage(
+        stage_cls(
             block=block_name,
             n_blocks=spec.stage_blocks[i],
             features=spec.stage_features[i],

@@ -171,6 +171,7 @@ class DenseDecoder(nn.Module):
     sigmoid_for_center: bool = True
     tanh_for_offset: bool = True
     n_channels_per_task: int = 32
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def _head_out_channels(self) -> int:
@@ -193,10 +194,14 @@ class DenseDecoder(nn.Module):
     ) -> Dict[str, Any]:
         x = context_out
         side_outputs: List[jnp.ndarray] = []
+        module_cls = (
+            nn.remat(DecoderModule, static_argnums=(3, 4, 5))
+            if self.remat else DecoderModule
+        )
         for i, (feats, downscale) in enumerate(
             zip(self.n_channels, self.downsamplings)
         ):
-            x, side = DecoderModule(
+            x, side = module_cls(
                 features=feats,
                 block=self.block,
                 n_blocks=self.n_blocks,
@@ -210,11 +215,12 @@ class DenseDecoder(nn.Module):
                 dtype=self.dtype,
                 name=f"module{i}",
             )(
+                # positional: remat-wrapped modules need static_argnums
                 x,
                 skips.get(downscale),
-                train=train,
-                deterministic=deterministic,
-                with_side_output=with_side_outputs,
+                train,
+                deterministic,
+                with_side_outputs,
             )
             if side is not None:
                 side_outputs.append(self._encode(side))

@@ -65,6 +65,7 @@ class EMSANet(nn.Module):
             if cfg.semantic_decoder == "emsanet":
                 self.semantic_decoder = DenseDecoder(
                     task="semantic",
+                    remat=cfg.remat,
                     n_channels=cfg.semantic_decoder_n_channels,
                     downsamplings=cfg.semantic_decoder_downsamplings,
                     block=cfg.semantic_decoder_block,
@@ -95,6 +96,7 @@ class EMSANet(nn.Module):
             if cfg.instance_decoder == "emsanet":
                 self.instance_decoder = DenseDecoder(
                     task="instance",
+                    remat=cfg.remat,
                     n_channels=cfg.instance_decoder_n_channels,
                     downsamplings=cfg.instance_decoder_downsamplings,
                     block=cfg.instance_decoder_block,
@@ -128,6 +130,7 @@ class EMSANet(nn.Module):
             if cfg.normal_decoder == "emsanet":
                 self.normal_decoder = DenseDecoder(
                     task="normal",
+                    remat=cfg.remat,
                     n_channels=cfg.normal_decoder_n_channels,
                     downsamplings=cfg.normal_decoder_downsamplings,
                     block=cfg.normal_decoder_block,

@@ -90,6 +90,7 @@ class FusedEncoder(nn.Module):
                 activation=cfg.activation,
                 dtype=dtype,
                 name_prefix=prefix,
+                remat=cfg.remat,
             )
             return spec, stem, stages
 
@@ -167,9 +168,8 @@ class FusedEncoder(nn.Module):
         for i in range(4):
             for mod in self.specs:
                 stage = getattr(self, f"{mod}_stages")[i]
-                feats[mod] = stage(
-                    feats[mod], train=train, deterministic=deterministic
-                )
+                # positional args: remat-wrapped stages need static_argnums
+                feats[mod] = stage(feats[mod], train, deterministic)
             if fused_mod is not None:
                 feats[fused_mod] = self.fusions[i + 1](
                     feats[fused_mod], feats[other_mod]
