@@ -1,0 +1,121 @@
+"""TPU-friendly replacements for scatter/top-k heavy postprocessing ops.
+
+- `exact_top_k`: two-stage exact top-k. `jax.lax.top_k` over the full
+  flattened image (307k elements) is slow on TPU; chunking to per-chunk
+  top-k then reducing the ~C*k candidates is exact (any global top-k
+  element is in its chunk's top-k) and far faster.
+
+- `segment_histogram` / `segment_sum_vectors`: one-hot-matmul segment
+  reductions. `jnp.zeros(...).at[keys].add(v)` lowers to serialized
+  scatters on TPU; expressing the reduction as
+  one_hot(keys)^T @ values rides the MXU instead. Chunked with lax.scan
+  (f32 accumulation) to bound the one-hot materialization to VMEM-sized
+  tiles.
+
+Used by postprocessing.find_instance_centers / panoptic_merge /
+aggregate_instance_orientations.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def exact_top_k(
+    x: jnp.ndarray, k: int, chunk_size: int = 8192
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis of (N, P). Returns (values, indices).
+
+    Stage 1: top-k within each chunk; stage 2: top-k over all per-chunk
+    candidates; indices mapped back to the original axis.
+    """
+    n, p = x.shape
+    if p <= max(chunk_size, 4 * k):
+        return jax.lax.top_k(x, k)
+    n_chunks = -(-p // chunk_size)
+    p_pad = n_chunks * chunk_size
+    if p_pad != p:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p)),
+                    constant_values=-jnp.inf)
+    xc = x.reshape(n, n_chunks, chunk_size)
+    vals1, idx1 = jax.lax.top_k(xc, min(k, chunk_size))  # (N, C, k)
+    base = (
+        jnp.arange(n_chunks, dtype=idx1.dtype)[None, :, None] * chunk_size
+    )
+    flat_idx1 = (idx1 + base).reshape(n, -1)  # (N, C*k)
+    vals1 = vals1.reshape(n, -1)
+    vals2, idx2 = jax.lax.top_k(vals1, k)  # (N, k)
+    indices = jnp.take_along_axis(flat_idx1, idx2, axis=1)
+    return vals2, indices
+
+
+def segment_histogram(
+    keys: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_segments: int,
+    chunk_size: int = 16384,
+) -> jnp.ndarray:
+    """Weighted histogram over (N, P) int keys -> (N, num_segments) f32.
+
+    Equivalent to zeros.at[keys].add(weights) per row, computed as chunked
+    one-hot matmuls (MXU) with f32 accumulation.
+    """
+    n, p = keys.shape
+    n_chunks = -(-p // chunk_size)
+    p_pad = n_chunks * chunk_size
+    if p_pad != p:
+        keys = jnp.pad(keys, ((0, 0), (0, p_pad - p)),
+                       constant_values=num_segments)  # out-of-range -> 0 wt
+        weights = jnp.pad(weights, ((0, 0), (0, p_pad - p)))
+    kc = keys.reshape(n, n_chunks, chunk_size)
+    wc = weights.astype(jnp.float32).reshape(n, n_chunks, chunk_size)
+
+    def body(acc, args):
+        kk, ww = args  # (N, chunk), (N, chunk)
+        onehot = jax.nn.one_hot(kk, num_segments, dtype=jnp.float32)
+        acc = acc + jnp.einsum(
+            "nc,ncs->ns", ww, onehot, preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    init = jnp.zeros((n, num_segments), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, init, (jnp.swapaxes(kc, 0, 1), jnp.swapaxes(wc, 0, 1))
+    )
+    return acc
+
+
+def segment_sum_vectors(
+    keys: jnp.ndarray,
+    vectors: jnp.ndarray,
+    num_segments: int,
+    chunk_size: int = 16384,
+) -> jnp.ndarray:
+    """Per-segment vector sums: (N, P) keys + (N, P, D) -> (N, S, D) f32."""
+    n, p = keys.shape
+    d = vectors.shape[-1]
+    n_chunks = -(-p // chunk_size)
+    p_pad = n_chunks * chunk_size
+    if p_pad != p:
+        keys = jnp.pad(keys, ((0, 0), (0, p_pad - p)),
+                       constant_values=num_segments)
+        vectors = jnp.pad(vectors, ((0, 0), (0, p_pad - p), (0, 0)))
+    kc = keys.reshape(n, n_chunks, chunk_size)
+    vc = vectors.astype(jnp.float32).reshape(n, n_chunks, chunk_size, d)
+
+    def body(acc, args):
+        kk, vv = args  # (N, chunk), (N, chunk, D)
+        onehot = jax.nn.one_hot(kk, num_segments, dtype=jnp.float32)
+        acc = acc + jnp.einsum(
+            "ncs,ncd->nsd", onehot, vv, preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    init = jnp.zeros((n, num_segments, d), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, init, (jnp.swapaxes(kc, 0, 1), jnp.swapaxes(vc, 0, 1))
+    )
+    return acc

@@ -90,7 +90,9 @@ def find_instance_centers(
     hm = jnp.where(keep & (hm > threshold), hm, 0.0)
 
     flat = hm.reshape(n, h * w)
-    scores, flat_idx = jax.lax.top_k(flat, top_k)
+    from emsanet_tpu.ops.segment_ops import exact_top_k
+
+    scores, flat_idx = exact_top_k(flat, top_k)
     valid = scores > 0.0
     ys = (flat_idx // w).astype(jnp.int32)
     xs = (flat_idx % w).astype(jnp.int32)
@@ -236,15 +238,12 @@ def panoptic_merge(
     flat_thing = thing_mask.reshape(n, h * w)
 
     vote_weight = flat_thing.astype(jnp.float32)
-    # combined key: inst * n_classes + sem, histogram via scatter-add
+    # combined key: inst * n_classes + sem; histogram as chunked one-hot
+    # matmuls (MXU) instead of serialized scatters (ops/segment_ops.py)
     combined = flat_inst * n_classes + flat_sem
+    from emsanet_tpu.ops.segment_ops import segment_histogram
 
-    def hist_one(keys, weights):
-        return jnp.zeros(((k + 1) * n_classes,), jnp.float32).at[keys].add(
-            weights
-        )
-
-    hist = jax.vmap(hist_one)(combined, vote_weight)
+    hist = segment_histogram(combined, vote_weight, (k + 1) * n_classes)
     hist = hist.reshape(n, k + 1, n_classes)
     # restrict to thing classes; instance 0 is "no instance"
     hist = jnp.where(is_thing[None, None, :], hist, 0.0)
@@ -318,11 +317,9 @@ def aggregate_instance_orientations(
     flat_inst = instance_seg.reshape(n, h * w)
     flat_or = orientation.reshape(n, h * w, 2).astype(jnp.float32)
 
-    def seg_sum(inst, vals):
-        zeros = jnp.zeros((top_k + 1, 2), jnp.float32)
-        return zeros.at[inst].add(vals)
+    from emsanet_tpu.ops.segment_ops import segment_sum_vectors
 
-    sums = jax.vmap(seg_sum)(flat_inst, flat_or)  # (N, K+1, 2)
+    sums = segment_sum_vectors(flat_inst, flat_or, top_k + 1)  # (N, K+1, 2)
     sums = sums[:, 1:, :]
     angles = jnp.arctan2(sums[..., 0], sums[..., 1])  # (sin, cos)
     return {"instance_orientations": jnp.mod(angles, 2 * jnp.pi)}
