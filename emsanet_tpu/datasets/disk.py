@@ -52,6 +52,7 @@ class PreparedDataset(SceneAnalysisDataset):
         use_cache: bool = False,
         cameras: Optional[Sequence[str]] = None,
         scene_use_indoor_domestic_labels: bool = False,
+        subsample: Optional[int] = None,
     ):
         super().__init__(sample_keys=sample_keys, use_cache=use_cache)
         self.dataset_path = dataset_path
@@ -76,6 +77,9 @@ class PreparedDataset(SceneAnalysisDataset):
             for f in os.listdir(rgb_dir)
             if f.lower().endswith((".png", ".jpg", ".jpeg"))
         )
+        if subsample and subsample > 1:
+            # every Nth sample (ScanNet/Hypersim subsampling, args.py:887,940)
+            self._ids = self._ids[::subsample]
         self._exts: Dict[str, str] = {}
         for f in os.listdir(rgb_dir):
             stem, ext = os.path.splitext(f)

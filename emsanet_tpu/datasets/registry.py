@@ -95,6 +95,10 @@ def get_dataset(
             kwargs = {}
             if name == "scannet":
                 kwargs["semantic_n_classes"] = data_cfg.scannet_semantic_n_classes
+                if split == "train":
+                    kwargs["subsample"] = data_cfg.scannet_subsample
+            if name == "hypersim" and split == "train":
+                kwargs["subsample"] = data_cfg.hypersim_subsample
             ds = PreparedDataset(
                 dataset_path=path,
                 dataset_name=name,

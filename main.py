@@ -191,6 +191,15 @@ def main(argv=None):
     )
     csv_logger = CSVLogger(os.path.join(run_dir, "metrics.csv"))
 
+    if cfg.train.visualize_validation:
+        from emsanet_tpu.visualization import (
+            setup_shared_color_generators,
+            visualize_batches,
+            visualize_predictions,
+        )
+
+        setup_shared_color_generators(ds_config)
+
     def run_validation(epoch: int):
         for th in task_helpers:
             th.initialize()
@@ -207,6 +216,11 @@ def main(argv=None):
                 preds = jax.device_get(preds)
                 for th in task_helpers:
                     th.validation_step(batch, preds)
+                if cfg.train.visualize_validation and n_batches == 0:
+                    # example images for the first batch (main.py:553-563)
+                    out = os.path.join(examples_dir, f"epoch_{epoch:04d}")
+                    visualize_predictions(preds, batch, out, ds_config)
+                    visualize_batches(batch, out, ds_config)
                 n_batches += 1
         logs = {}
         for th in task_helpers:
