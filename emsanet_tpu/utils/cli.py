@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     g = p.add_argument_group("general")
+    g.add_argument("--config", default=None,
+                   help="JSON config file (configs/*.json); explicit CLI "
+                   "flags override its values")
     g.add_argument("--device", default="tpu", choices=("tpu", "cpu"),
                    help="compute platform (reference --device, args.py:1163; "
                    "'cpu' also enables the virtual multi-device host "
@@ -257,6 +260,22 @@ def parse_args(argv: Optional[Sequence[str]] = None):
         ckpt = os.path.join(run_dir, "checkpoints", "ckpt_resume.msgpack")
         argv = recorded + ["--resume-ckpt-filepath", ckpt] + argv[2:]
     parser = build_parser()
+
+    # --config: JSON values become parser defaults; explicit flags override
+    if "--config" in argv:
+        cfg_path = argv[argv.index("--config") + 1]
+        with open(cfg_path) as fh:
+            file_cfg = json.load(fh)
+        defaults = {}
+        for section in ("model", "data", "train"):
+            for key, value in file_cfg.get(section, {}).items():
+                defaults[key] = tuple(value) if isinstance(value, list) \
+                    else value
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(
+            **{k: v for k, v in defaults.items() if k in known}
+        )
+
     ns = parser.parse_args(argv)
     cfg = args_to_config(ns)
     return cfg, ns, argv

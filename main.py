@@ -277,7 +277,17 @@ def main(argv=None):
                 opt_state=set_learning_rate(state.opt_state, lr)
             )
             loss_sums, loss_counts = {}, 0
-            for i, batch in enumerate(data.train_loader.batches(epoch)):
+            try:
+                from tqdm import tqdm
+
+                batch_iter = tqdm(
+                    data.train_loader.batches(epoch),
+                    total=len(data.train_loader),
+                    desc=f"epoch {epoch}", leave=False, disable=None,
+                )
+            except ImportError:  # print-only fallback (main.py:256-265)
+                batch_iter = data.train_loader.batches(epoch)
+            for i, batch in enumerate(batch_iter):
                 device_batch = extract_device_batch(batch)
                 dropout_rng = jax.random.fold_in(
                     jax.random.PRNGKey(cfg.train.seed + 1), epoch * 100003 + i
