@@ -88,6 +88,55 @@ def segment_histogram(
     return acc
 
 
+def segment_histogram_factored(
+    keys_a: jnp.ndarray,
+    keys_b: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_a: int,
+    num_b: int,
+    chunk_size: int = 8192,
+) -> jnp.ndarray:
+    """2-D histogram over key pairs: (N, P) x (N, P) -> (N, A, B) f32.
+
+    Equivalent to segment_histogram over combined keys a*B+b but factored:
+    hist = one_hot(a)^T @ (w * one_hot(b)) per chunk — the one-hots stay
+    (chunk, A) and (chunk, B) instead of (chunk, A*B). With A=65, B=41
+    that is a ~40x memory-traffic reduction. One-hots are exact in bf16;
+    accumulation is f32 on the MXU.
+    """
+    n, p = keys_a.shape
+    n_chunks = -(-p // chunk_size)
+    p_pad = n_chunks * chunk_size
+    if p_pad != p:
+        keys_a = jnp.pad(keys_a, ((0, 0), (0, p_pad - p)),
+                         constant_values=num_a)
+        keys_b = jnp.pad(keys_b, ((0, 0), (0, p_pad - p)),
+                         constant_values=num_b)
+        weights = jnp.pad(weights, ((0, 0), (0, p_pad - p)))
+    ka = keys_a.reshape(n, n_chunks, chunk_size)
+    kb = keys_b.reshape(n, n_chunks, chunk_size)
+    wc = weights.reshape(n, n_chunks, chunk_size)
+
+    def body(acc, args):
+        a, b, w = args
+        oh_a = jax.nn.one_hot(a, num_a, dtype=jnp.bfloat16)
+        oh_b = jax.nn.one_hot(b, num_b, dtype=jnp.bfloat16)
+        oh_b = oh_b * w[..., None].astype(jnp.bfloat16)
+        acc = acc + jnp.einsum(
+            "npa,npb->nab", oh_a, oh_b,
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    init = jnp.zeros((n, num_a, num_b), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, init,
+        (jnp.swapaxes(ka, 0, 1), jnp.swapaxes(kb, 0, 1),
+         jnp.swapaxes(wc, 0, 1)),
+    )
+    return acc
+
+
 def segment_sum_vectors(
     keys: jnp.ndarray,
     vectors: jnp.ndarray,

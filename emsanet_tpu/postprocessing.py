@@ -238,13 +238,13 @@ def panoptic_merge(
     flat_thing = thing_mask.reshape(n, h * w)
 
     vote_weight = flat_thing.astype(jnp.float32)
-    # combined key: inst * n_classes + sem; histogram as chunked one-hot
-    # matmuls (MXU) instead of serialized scatters (ops/segment_ops.py)
-    combined = flat_inst * n_classes + flat_sem
-    from emsanet_tpu.ops.segment_ops import segment_histogram
+    # (instance, class) histogram as factored one-hot matmuls (MXU) instead
+    # of serialized scatters; votes are 0/1 -> exact (ops/segment_ops.py)
+    from emsanet_tpu.ops.segment_ops import segment_histogram_factored
 
-    hist = segment_histogram(combined, vote_weight, (k + 1) * n_classes)
-    hist = hist.reshape(n, k + 1, n_classes)
+    hist = segment_histogram_factored(
+        flat_inst, flat_sem, vote_weight, k + 1, n_classes
+    )
     # restrict to thing classes; instance 0 is "no instance"
     hist = jnp.where(is_thing[None, None, :], hist, 0.0)
     inst_semantic = jnp.argmax(hist, axis=-1).astype(jnp.int32)  # (N, K+1)

@@ -57,3 +57,20 @@ def test_segment_sum_vectors_matches_scatter():
     for b in range(2):
         np.add.at(want[b], np.asarray(keys[b]), np.asarray(v[b]))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_histogram_factored_matches_combined():
+    rng = np.random.RandomState(4)
+    A, B = 65, 41
+    ka = jnp.asarray(rng.randint(0, A, (2, 7000)), jnp.int32)
+    kb = jnp.asarray(rng.randint(0, B, (2, 7000)), jnp.int32)
+    w = jnp.asarray((rng.rand(2, 7000) > 0.5).astype(np.float32))
+    from emsanet_tpu.ops.segment_ops import segment_histogram_factored
+
+    got = np.asarray(
+        segment_histogram_factored(ka, kb, w, A, B, chunk_size=2048)
+    )
+    want = np.asarray(
+        segment_histogram(ka * B + kb, w, A * B, chunk_size=2048)
+    ).reshape(2, A, B)
+    np.testing.assert_allclose(got, want)

