@@ -90,9 +90,9 @@ def find_instance_centers(
     hm = jnp.where(keep & (hm > threshold), hm, 0.0)
 
     flat = hm.reshape(n, h * w)
-    from emsanet_tpu.ops.segment_ops import exact_top_k
-
-    scores, flat_idx = exact_top_k(flat, top_k)
+    # measured on v5e @ (32, 307200): lax.top_k 1.9 ms — faster than a
+    # 2-stage chunked top-k (5.9 ms; see ops/segment_ops.exact_top_k)
+    scores, flat_idx = jax.lax.top_k(flat, top_k)
     valid = scores > 0.0
     ys = (flat_idx // w).astype(jnp.int32)
     xs = (flat_idx % w).astype(jnp.int32)
@@ -255,10 +255,14 @@ def panoptic_merge(
     inst_semantic = jnp.where(inst_has_votes, inst_semantic, void_label)
 
     # --- compose panoptic ids ---------------------------------------------
-    # per-pixel: semantic class of its instance (majority-voted)
-    pixel_inst_sem = jnp.take_along_axis(
-        inst_semantic, flat_inst, axis=1
-    ).reshape(n, h, w)
+    # per-pixel: semantic class of its instance (majority-voted). The
+    # per-row table lookup runs as one-hot matmuls (segment_gather) —
+    # batched gathers of 32x307k indices measured ~150 ms on v5e.
+    from emsanet_tpu.ops.segment_ops import segment_gather
+
+    pixel_inst_sem = segment_gather(
+        flat_inst, inst_semantic.astype(jnp.float32)
+    ).astype(jnp.int32).reshape(n, h, w)
 
     thing_assigned = thing_mask & has_instance & (pixel_inst_sem > 0)
     panoptic = jnp.where(
@@ -274,9 +278,9 @@ def panoptic_merge(
     # --- scores & meta ------------------------------------------------------
     center_score_padded = jnp.concatenate(
         [jnp.zeros((n, 1), centers_score.dtype), centers_score], axis=1
-    )  # (N, K+1), index by instance id
-    pixel_inst_score = jnp.take_along_axis(
-        center_score_padded, flat_inst, axis=1
+    )  # (N, K+1), index by instance id; one-hot-matmul lookup as above
+    pixel_inst_score = segment_gather(
+        flat_inst, center_score_padded
     ).reshape(n, h, w)
     panoptic_score = jnp.where(
         thing_assigned,

@@ -74,3 +74,14 @@ def test_segment_histogram_factored_matches_combined():
         segment_histogram(ka * B + kb, w, A * B, chunk_size=2048)
     ).reshape(2, A, B)
     np.testing.assert_allclose(got, want)
+
+
+def test_segment_gather_matches_take_along_axis():
+    rng = np.random.RandomState(5)
+    keys = jnp.asarray(rng.randint(0, 65, (3, 5000)), jnp.int32)
+    values = jnp.asarray(rng.randn(3, 65), jnp.float32)
+    from emsanet_tpu.ops.segment_ops import segment_gather
+
+    got = np.asarray(segment_gather(keys, values, chunk_size=2048))
+    want = np.take_along_axis(np.asarray(values), np.asarray(keys), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
