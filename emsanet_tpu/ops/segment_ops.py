@@ -24,6 +24,23 @@ import jax
 import jax.numpy as jnp
 
 
+def small_table_lookup(indices: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[indices] without a gather: compare + weighted sum.
+
+    On the tunneled v5e backend a plain `table[indices]` gather over
+    ~10M indices measured 76.5 ms; the compare-based form runs at 0.5 ms.
+    Intended for small tables (C <= ~128); output dtype = table dtype.
+    """
+    c = table.shape[0]
+    iota = jnp.arange(c, dtype=indices.dtype)
+    onehot = indices[..., None] == iota
+    if table.dtype == jnp.bool_:
+        return jnp.any(onehot & table, axis=-1)
+    return jnp.sum(
+        onehot.astype(table.dtype) * table, axis=-1
+    )
+
+
 def exact_top_k(
     x: jnp.ndarray, k: int, chunk_size: int = 8192
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -228,7 +228,10 @@ def panoptic_merge(
     n, h, w = semantic_idx.shape
     k = centers_score.shape[1]
 
-    thing_mask = is_thing[semantic_idx]  # (N, H, W)
+    from emsanet_tpu.ops.segment_ops import small_table_lookup
+
+    # compare-based lookup: table gathers cost ~76 ms at this size (v5e)
+    thing_mask = small_table_lookup(semantic_idx, is_thing)  # (N, H, W)
     has_instance = instance_seg > 0
 
     # --- majority vote: histogram over (instance id, semantic class) ------
@@ -238,13 +241,23 @@ def panoptic_merge(
     flat_thing = thing_mask.reshape(n, h * w)
 
     vote_weight = flat_thing.astype(jnp.float32)
-    # (instance, class) histogram as factored one-hot matmuls (MXU) instead
-    # of serialized scatters; votes are 0/1 -> exact (ops/segment_ops.py)
-    from emsanet_tpu.ops.segment_ops import segment_histogram_factored
+    # (instance, class) vote histogram: Pallas segment-reduce kernel on
+    # TPU (masks in-register, MXU dots); factored one-hot matmuls as the
+    # jnp fallback/oracle. Votes are 0/1 -> exact.
+    if jax.default_backend() == "tpu":
+        from emsanet_tpu.ops.segment_pallas import segment_hist_and_sums
 
-    hist = segment_histogram_factored(
-        flat_inst, flat_sem, vote_weight, k + 1, n_classes
-    )
+        hist, _ = segment_hist_and_sums(
+            flat_inst, flat_sem, vote_weight,
+            jnp.zeros((*flat_inst.shape, 1), jnp.float32),
+            num_segments=k + 1, num_classes=n_classes,
+        )
+    else:
+        from emsanet_tpu.ops.segment_ops import segment_histogram_factored
+
+        hist = segment_histogram_factored(
+            flat_inst, flat_sem, vote_weight, k + 1, n_classes
+        )
     # restrict to thing classes; instance 0 is "no instance"
     hist = jnp.where(is_thing[None, None, :], hist, 0.0)
     inst_semantic = jnp.argmax(hist, axis=-1).astype(jnp.int32)  # (N, K+1)
@@ -255,14 +268,30 @@ def panoptic_merge(
     inst_semantic = jnp.where(inst_has_votes, inst_semantic, void_label)
 
     # --- compose panoptic ids ---------------------------------------------
-    # per-pixel: semantic class of its instance (majority-voted). The
-    # per-row table lookup runs as one-hot matmuls (segment_gather) —
-    # batched gathers of 32x307k indices measured ~150 ms on v5e.
-    from emsanet_tpu.ops.segment_ops import segment_gather
+    # per-pixel lookups of the per-instance tables (voted class + center
+    # score). Batched gathers of 32x307k indices measured ~150 ms on v5e;
+    # the Pallas lookup kernel does (D, K) x (K, T) dots in VMEM instead.
+    center_score_padded = jnp.concatenate(
+        [jnp.zeros((n, 1), centers_score.dtype), centers_score], axis=1
+    )  # (N, K+1), index by instance id
+    if jax.default_backend() == "tpu":
+        from emsanet_tpu.ops.segment_pallas import segment_lookup
 
-    pixel_inst_sem = segment_gather(
-        flat_inst, inst_semantic.astype(jnp.float32)
-    ).astype(jnp.int32).reshape(n, h, w)
+        tables = jnp.stack(
+            [inst_semantic.astype(jnp.float32), center_score_padded], axis=1
+        )  # (N, 2, K+1)
+        looked_up = segment_lookup(flat_inst, tables)  # (N, 2, P)
+        pixel_inst_sem = looked_up[:, 0].astype(jnp.int32).reshape(n, h, w)
+        pixel_inst_score = looked_up[:, 1].reshape(n, h, w)
+    else:
+        from emsanet_tpu.ops.segment_ops import segment_gather
+
+        pixel_inst_sem = segment_gather(
+            flat_inst, inst_semantic.astype(jnp.float32)
+        ).astype(jnp.int32).reshape(n, h, w)
+        pixel_inst_score = segment_gather(
+            flat_inst, center_score_padded
+        ).reshape(n, h, w)
 
     thing_assigned = thing_mask & has_instance & (pixel_inst_sem > 0)
     panoptic = jnp.where(
@@ -276,12 +305,6 @@ def panoptic_merge(
     ).astype(jnp.int32)  # max id = C*2^16 + K, well within int32
 
     # --- scores & meta ------------------------------------------------------
-    center_score_padded = jnp.concatenate(
-        [jnp.zeros((n, 1), centers_score.dtype), centers_score], axis=1
-    )  # (N, K+1), index by instance id; one-hot-matmul lookup as above
-    pixel_inst_score = segment_gather(
-        flat_inst, center_score_padded
-    ).reshape(n, h, w)
     panoptic_score = jnp.where(
         thing_assigned,
         pixel_inst_score * semantic_score,
@@ -321,10 +344,22 @@ def aggregate_instance_orientations(
     flat_inst = instance_seg.reshape(n, h * w)
     flat_or = orientation.reshape(n, h * w, 2).astype(jnp.float32)
 
-    from emsanet_tpu.ops.segment_ops import segment_sum_vectors
+    if jax.default_backend() == "tpu":
+        from emsanet_tpu.ops.segment_pallas import segment_hist_and_sums
 
-    sums = segment_sum_vectors(flat_inst, flat_or, top_k + 1)  # (N, K+1, 2)
-    sums = sums[:, 1:, :]
+        _, sums = segment_hist_and_sums(
+            flat_inst,
+            jnp.zeros_like(flat_inst),
+            jnp.zeros(flat_inst.shape, jnp.float32),
+            flat_or,
+            num_segments=top_k + 1,
+            num_classes=8,  # histogram unused on this path
+        )
+    else:
+        from emsanet_tpu.ops.segment_ops import segment_sum_vectors
+
+        sums = segment_sum_vectors(flat_inst, flat_or, top_k + 1)
+    sums = sums[:, 1:, :]  # (N, K, 2)
     angles = jnp.arctan2(sums[..., 0], sums[..., 1])  # (sin, cos)
     return {"instance_orientations": jnp.mod(angles, 2 * jnp.pi)}
 
@@ -377,7 +412,9 @@ def postprocess(
 
     if "instance" in outputs:
         if semantic_full is not None:
-            foreground = is_thing[semantic_full]
+            from emsanet_tpu.ops.segment_ops import small_table_lookup
+
+            foreground = small_table_lookup(semantic_full, is_thing)
         else:
             foreground = jnp.ones(
                 outputs["instance"]["center"].shape[:3], bool

@@ -85,3 +85,16 @@ def test_segment_gather_matches_take_along_axis():
     got = np.asarray(segment_gather(keys, values, chunk_size=2048))
     want = np.take_along_axis(np.asarray(values), np.asarray(keys), axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_small_table_lookup_matches_gather():
+    from emsanet_tpu.ops.segment_ops import small_table_lookup
+
+    idx = jnp.asarray([[0, 3, 2], [1, 1, 0]], jnp.int32)
+    table_f = jnp.asarray([10.0, 20.0, 30.0, 40.0])
+    got = np.asarray(small_table_lookup(idx, table_f))
+    np.testing.assert_array_equal(got, np.asarray(table_f)[np.asarray(idx)])
+
+    table_b = jnp.asarray([False, True, False, True])
+    got_b = np.asarray(small_table_lookup(idx, table_b))
+    np.testing.assert_array_equal(got_b, np.asarray(table_b)[np.asarray(idx)])
