@@ -60,7 +60,6 @@ class EMSANet(nn.Module):
         scene_n_classes = self.dataset_config.n_scene_classes_without_void
         zero_init = not cfg.no_zero_init_decoder_residuals
 
-        decoders: Dict[str, nn.Module] = {}
         if "semantic" in cfg.tasks:
             if cfg.semantic_decoder == "emsanet":
                 self.semantic_decoder = DenseDecoder(

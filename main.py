@@ -269,6 +269,7 @@ def main(argv=None):
 
     # ----- epoch loop (main.py:585-717) --------------------------------------
     n_epochs = cfg.train.n_epochs
+    epoch = next_epoch  # defined for the error-checkpoint path
     try:
         for epoch in range(next_epoch, n_epochs):
             t0 = time.time()
