@@ -40,6 +40,9 @@ def _get_args(argv=None):
     g.add_argument("--inference-split", default=None,
                    help="split to run on (default: validation split)")
     g.add_argument("--inference-max-samples", type=int, default=None)
+    g.add_argument("--inference-output-fullres", action="store_true",
+                   help="resize predictions back to the native resolution "
+                   "before writing (reference benchmark protocol)")
     ns = parser.parse_args(argv)
     cfg = args_to_config(ns)
     return cfg, ns
@@ -162,6 +165,19 @@ def main(argv=None):
             valid = batch.get(
                 "_valid_mask", np.ones(len(batch["identifier"]), bool)
             )
+
+            def at_output_res(arr_b):
+                """Optionally resize an id map to the native resolution."""
+                if not ns.inference_output_fullres:
+                    return arr_b
+                full = batch.get("rgb_fullres")
+                if full is None:
+                    return arr_b
+                from emsanet_tpu.task_helper import _resize_ids_nearest
+
+                oh, ow = np.asarray(full).shape[1:3]
+                return _resize_ids_nearest(np.asarray(arr_b), oh, ow)
+
             for b, ident_obj in enumerate(batch["identifier"]):
                 if not valid[b]:
                     continue
@@ -173,7 +189,9 @@ def main(argv=None):
                 if "semantic" in formats:
                     write_semantic(
                         os.path.join(out_root, "semantic"), ident,
-                        preds["semantic_segmentation_idx"][b] + 1,
+                        at_output_res(
+                            preds["semantic_segmentation_idx"][b] + 1
+                        ),
                     )
                 if "instance" in formats and "instance_segmentation" in preds:
                     write_instance(
@@ -187,7 +205,9 @@ def main(argv=None):
                         and "panoptic_segmentation_deeplab" in preds):
                     write_panoptic(
                         os.path.join(out_root, "panoptic"), ident,
-                        preds["panoptic_segmentation_deeplab"][b],
+                        at_output_res(
+                            preds["panoptic_segmentation_deeplab"][b]
+                        ),
                         LABEL_DIVISOR,
                     )
                 if "mapping" in formats:
