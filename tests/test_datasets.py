@@ -133,3 +133,15 @@ def test_metadata_configs_complete():
         assert config.depth_stats.std > 0
     assert get_metadata_config("nyuv2").n_semantic_classes_without_void == 40
     assert get_metadata_config("sunrgbd").n_semantic_classes_without_void == 37
+
+
+def test_multi_dataset_concat_via_registry():
+    from emsanet_tpu.config import DataConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset
+
+    cfg_d = DataConfig(dataset="synthetic:synthetic", synthetic_n_samples=3)
+    cfg_m = ModelConfig(tasks=("semantic",), input_height=32, input_width=32)
+    ds = get_dataset(cfg_d, cfg_m, "train")
+    assert len(ds) == 6
+    s = ds.load_raw(5)
+    assert s["rgb"].shape == (32, 32, 3)
