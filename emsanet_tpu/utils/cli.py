@@ -116,6 +116,15 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument(f"--{task}-encoder-decoder-fusion", default="add-rgb",
                        choices=KNOWN_ENCODER_DECODER_FUSIONS)
 
+    g = p.add_argument_group("model: deprecated aliases")
+    g.add_argument("--encoder-decoder-fusion", default=None,
+                   choices=KNOWN_ENCODER_DECODER_FUSIONS,
+                   help="[DEPRECATED] sets the fusion of every decoder "
+                   "(reference args.py:1268-1315 shim)")
+    g.add_argument("--upsampling-decoder", default=None,
+                   choices=KNOWN_UPSAMPLINGS,
+                   help="[DEPRECATED] sets the upsampling of every decoder")
+
     g = p.add_argument_group("model: instance head")
     g.add_argument("--instance-center-sigma", type=int, default=8)
     g.add_argument("--instance-center-heatmap-threshold", type=float,
@@ -213,6 +222,18 @@ _RENAMES = {
 
 
 def args_to_config(args: argparse.Namespace) -> EMSANetConfig:
+    # deprecated alias rewriting (reference args.py:1268-1315)
+    if getattr(args, "encoder_decoder_fusion", None):
+        for task in ("semantic", "instance", "normal"):
+            setattr(args, f"{task}_encoder_decoder_fusion",
+                    args.encoder_decoder_fusion)
+    if getattr(args, "upsampling_decoder", None):
+        for task in ("semantic", "instance", "normal"):
+            setattr(args, f"{task}_decoder_upsampling",
+                    args.upsampling_decoder)
+    args.encoder_decoder_fusion = None
+    args.upsampling_decoder = None
+
     model, data, train = {}, {}, {}
     for key, value in vars(args).items():
         if value is None and key not in (
