@@ -164,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--overfit-n-batches", type=int, default=-1)
     g.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all local)")
+    g.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                   "training (each host feeds its own input shard; the "
+                   "gradient all-reduce rides ICI within a slice, DCN "
+                   "across slices)")
     g.add_argument("--mixed-precision", action="store_true",
                    help="bf16 compute in the train step")
 

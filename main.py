@@ -47,6 +47,12 @@ def main(argv=None):
         _jax.config.update("jax_platforms", "cpu")
 
     import jax
+
+    if getattr(ns, "distributed", False):
+        # multi-host: one process per host, same program; JAX wires the
+        # global device mesh (coordinator from the TPU environment)
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -184,6 +190,19 @@ def main(argv=None):
         make_eval_step(model, cfg, is_thing,
                        use_orientations=use_orientations)
     )
+    if use_mesh:
+        # shard validation batches over the mesh too; GSPMD parallelizes
+        # the jit program from the input shardings (params replicated).
+        # batch must divide the mesh; loaders pad to a fixed batch size.
+        n_mesh = mesh.devices.size
+
+        def _eval_put(b):
+            sizes = {v.shape[0] for v in b.values() if hasattr(v, "shape")}
+            if all(s % n_mesh == 0 for s in sizes):
+                return shard_batch(b, mesh)
+            return b
+    else:
+        _eval_put = lambda b: b  # noqa: E731
     task_helpers = get_task_helpers(cfg, ds_config)
     lr_fn = get_lr_fn(cfg.train)
     checkpoint_helper = CheckpointHelper(
@@ -209,9 +228,11 @@ def main(argv=None):
                 device_batch = extract_device_batch(batch)
                 preds = eval_step(
                     state.params, state.batch_stats,
-                    {k: device_batch[k]
-                     for k in ("rgb", "depth", "instance_foreground")
-                     if k in device_batch},
+                    _eval_put({
+                        k: device_batch[k]
+                        for k in ("rgb", "depth", "instance_foreground")
+                        if k in device_batch
+                    }),
                 )
                 preds = jax.device_get(preds)
                 for th in task_helpers:
