@@ -41,7 +41,20 @@ def main():
         args.batch_size, args.warmup, args.runs = 2, 2, 5
         args.height, args.width = 96, 128
 
+    import os
+
     import jax
+
+    try:  # persistent compile cache (best effort; remote compiles are slow)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("EMSANET_JAX_CACHE",
+                           os.path.expanduser("~/.cache/emsanet_jax")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
