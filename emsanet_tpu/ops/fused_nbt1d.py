@@ -13,6 +13,16 @@ Inference-only: BatchNorm is folded to per-channel scale/shift
 (fold_batchnorm). The flax block (models/layers.py NonBottleneck1D)
 remains the training path and the numerics oracle; `fused_nbt1d_params`
 extracts the kernel's inputs from a block's param/batch_stats trees.
+
+STATUS (round 1, measured on v5e): numerics exact (sum rel err ~3e-6 vs
+the flax block on-device), but NOT yet faster — XLA's per-block time is
+already at the HBM roofline (e.g. 0.143 ms at (32,60,80,128) = the
+~78 MB r/w bound), and this v1 (f32 VMEM compute, vmap over batch, no
+row tiling) measures ~0.25 ms there and crashes the Mosaic compiler at
+(32,120,160,64) and C=512 shapes. Round-2 plan: bf16 MXU compute, batch
+via grid with double buffering, row tiling with halos — the win must
+come from fusing *across consecutive blocks* (an entire 3-block stage per
+VMEM residency), not within one block. Not wired into the model.
 """
 
 from __future__ import annotations
