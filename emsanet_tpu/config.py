@@ -157,6 +157,11 @@ class ModelConfig:
     # (jax.checkpoint): trades ~30% more FLOPs for O(stage) activation
     # memory — enables much larger per-chip batches
     remat: bool = False
+    # inference-only: run stride-1 NonBottleneck1D chains (encoder stage
+    # tails, decoder module block stacks) as single fused Pallas kernels
+    # that keep the feature map in VMEM across blocks (ops/nbt1d_chain.py).
+    # No effect on the param tree or the training path.
+    fused_inference: bool = False
 
     @property
     def instance_normalized_offset(self) -> bool:

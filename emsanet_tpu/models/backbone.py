@@ -120,6 +120,7 @@ class ResNetStage(nn.Module):
     se: bool = False
     normalization: str = "batchnorm"
     activation: str = "relu"
+    fused_inference: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -127,8 +128,8 @@ class ResNetStage(nn.Module):
         self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
     ) -> jnp.ndarray:
         block_cls = get_block_class(self.block)
-        for i in range(self.n_blocks):
-            x = block_cls(
+        blocks = [
+            block_cls(
                 features=self.features,
                 stride=self.stride if i == 0 else 1,
                 dropout_p=self.dropout_p,
@@ -136,12 +137,24 @@ class ResNetStage(nn.Module):
                 activation=self.activation,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, train=train, deterministic=deterministic)
-            if self.se:
-                x = SqueezeExcitation(
-                    activation=self.activation, dtype=self.dtype,
-                    name=f"se{i}",
-                )(x)
+            )
+            for i in range(self.n_blocks)
+        ]
+        if not self.se:
+            from emsanet_tpu.models.layers import apply_blocks_maybe_fused
+
+            strides = [self.stride] + [1] * (self.n_blocks - 1)
+            return apply_blocks_maybe_fused(
+                self, blocks, strides, x,
+                train=train, deterministic=deterministic,
+                fused=self.fused_inference,
+            )
+        for i, b in enumerate(blocks):
+            x = b(x, train=train, deterministic=deterministic)
+            x = SqueezeExcitation(
+                activation=self.activation, dtype=self.dtype,
+                name=f"se{i}",
+            )(x)
         return x
 
 
@@ -154,6 +167,7 @@ def make_backbone_stages(
     dtype: Dtype,
     name_prefix: str,
     remat: bool = False,
+    fused_inference: bool = False,
 ):
     """Build (stem, [stage0..stage3]) submodules for a backbone.
 
@@ -185,6 +199,7 @@ def make_backbone_stages(
             se=spec.se,
             normalization=normalization,
             activation=activation,
+            fused_inference=fused_inference,
             dtype=dtype,
             name=f"{name_prefix}_stage{i}",
         )

@@ -80,6 +80,7 @@ class DecoderModule(nn.Module):
     normalization: str = "batchnorm"
     activation: str = "relu"
     zero_init_residual: bool = True
+    fused_inference: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,14 +92,16 @@ class DecoderModule(nn.Module):
         deterministic: bool = True,
         with_side_output: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        from emsanet_tpu.models.layers import apply_blocks_maybe_fused
+
         x = ConvNormAct(
             self.features, (3, 3),
             normalization=self.normalization, activation=self.activation,
             dtype=self.dtype, name="conv_in",
         )(x, train=train)
         block_cls = get_block_class(self.block)
-        for i in range(self.n_blocks):
-            x = block_cls(
+        blocks = [
+            block_cls(
                 features=self.features,
                 dropout_p=self.block_dropout_p,
                 normalization=self.normalization,
@@ -106,7 +109,14 @@ class DecoderModule(nn.Module):
                 zero_init_residual=self.zero_init_residual,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, train=train, deterministic=deterministic)
+            )
+            for i in range(self.n_blocks)
+        ]
+        x = apply_blocks_maybe_fused(
+            self, blocks, [1] * self.n_blocks, x,
+            train=train, deterministic=deterministic,
+            fused=self.fused_inference,
+        )
 
         side = None
         if with_side_output and self.side_output_channels:
@@ -172,6 +182,7 @@ class DenseDecoder(nn.Module):
     tanh_for_offset: bool = True
     n_channels_per_task: int = 32
     remat: bool = False
+    fused_inference: bool = False
     dtype: Dtype = jnp.float32
 
     def _head_out_channels(self) -> int:
@@ -212,6 +223,7 @@ class DenseDecoder(nn.Module):
                 normalization=self.normalization,
                 activation=self.activation,
                 zero_init_residual=self.zero_init_residual,
+                fused_inference=self.fused_inference,
                 dtype=self.dtype,
                 name=f"module{i}",
             )(

@@ -65,6 +65,7 @@ class EMSANet(nn.Module):
                 self.semantic_decoder = DenseDecoder(
                     task="semantic",
                     remat=cfg.remat,
+                    fused_inference=cfg.fused_inference,
                     n_channels=cfg.semantic_decoder_n_channels,
                     downsamplings=cfg.semantic_decoder_downsamplings,
                     block=cfg.semantic_decoder_block,
@@ -96,6 +97,7 @@ class EMSANet(nn.Module):
                 self.instance_decoder = DenseDecoder(
                     task="instance",
                     remat=cfg.remat,
+                    fused_inference=cfg.fused_inference,
                     n_channels=cfg.instance_decoder_n_channels,
                     downsamplings=cfg.instance_decoder_downsamplings,
                     block=cfg.instance_decoder_block,
@@ -130,6 +132,7 @@ class EMSANet(nn.Module):
                 self.normal_decoder = DenseDecoder(
                     task="normal",
                     remat=cfg.remat,
+                    fused_inference=cfg.fused_inference,
                     n_channels=cfg.normal_decoder_n_channels,
                     downsamplings=cfg.normal_decoder_downsamplings,
                     block=cfg.normal_decoder_block,

@@ -91,6 +91,7 @@ class FusedEncoder(nn.Module):
                 dtype=dtype,
                 name_prefix=prefix,
                 remat=cfg.remat,
+                fused_inference=cfg.fused_inference,
             )
             return spec, stem, stages
 
