@@ -177,6 +177,38 @@ def load_weights_file(path: str, state, cfg, verbose: bool = True):
     )
 
 
+def load_imported_npz(path: str, state, cfg, verbose: bool = True):
+    """Load a checkpoint produced by tools/import_torch_checkpoint.py.
+
+    Applies the same transfer/surgery rules as load_weights_file
+    (class-count reconciliation, orientation stripping, scene-head skip).
+    """
+    data = np.load(path)
+    loaded_params, loaded_stats = {}, {}
+    for key in data.files:
+        coll, rest = key.split("/", 1)
+        path_t = tuple(rest.split("/"))
+        (loaded_params if coll == "params" else loaded_stats)[path_t] = (
+            data[key]
+        )
+    target_params = {
+        k: np.asarray(v) for k, v in _flatten(dict(state.params)).items()
+    }
+    merged = merge_loaded_params(
+        loaded_params, target_params, tasks=cfg.model.tasks, verbose=verbose
+    )
+    target_stats = {
+        k: np.asarray(v)
+        for k, v in _flatten(dict(state.batch_stats)).items()
+    }
+    merged_stats = merge_loaded_params(
+        loaded_stats, target_stats, tasks=cfg.model.tasks, verbose=False
+    )
+    return state.replace(
+        params=_unflatten(merged), batch_stats=_unflatten(merged_stats)
+    )
+
+
 # ---------------------------------------------------------------------------
 # torch -> JAX conversion
 
