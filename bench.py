@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="small config for smoke testing")
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--no-fused", action="store_true",
+                        help="disable the fused inference path (Pallas "
+                        "NBt1D chains + polyphase upsampling)")
     args = parser.parse_args()
 
     if args.quick:
@@ -72,6 +75,7 @@ def main():
             rgb_encoder_backbone="resnet34" if not args.quick else "resnet18",
             depth_encoder_backbone="resnet34" if not args.quick else "resnet18",
             compute_dtype=args.dtype,
+            fused_inference=not args.no_fused,
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()

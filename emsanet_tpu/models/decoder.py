@@ -125,7 +125,8 @@ class DecoderModule(nn.Module):
                 dtype=self.dtype, name="side_output",
             )(x)
 
-        x = Upsampling(self.upsampling, dtype=self.dtype, name="upsample")(x)
+        x = Upsampling(self.upsampling, fused=self.fused_inference,
+                       dtype=self.dtype, name="upsample")(x)
         if skips is not None:
             x = EncoderDecoderFusion(
                 mode=self.fusion, normalization=self.normalization,
@@ -144,12 +145,15 @@ class PredictionUpsampling(nn.Module):
     """
 
     method: str = "learned-3x3-zeropad"
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Upsampling(self.method, dtype=self.dtype, name="up0")(x)
-        x = Upsampling(self.method, dtype=self.dtype, name="up1")(x)
+        x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
+                       name="up0")(x)
+        x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
+                       name="up1")(x)
         return x
 
 
@@ -266,7 +270,8 @@ class DenseDecoder(nn.Module):
             )(x)
 
         pred = PredictionUpsampling(
-            self.prediction_upsampling, dtype=self.dtype, name="head_upsampling"
+            self.prediction_upsampling, fused=self.fused_inference,
+            dtype=self.dtype, name="head_upsampling"
         )(pred)
         pred = self._encode(pred)
 
@@ -321,6 +326,7 @@ class MLPDecoder(nn.Module):
     sigmoid_for_center: bool = True
     tanh_for_offset: bool = True
     n_channels_per_task: int = 32
+    fused_inference: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -390,7 +396,8 @@ class MLPDecoder(nn.Module):
             )(x)
 
         pred = PredictionUpsampling(
-            self.prediction_upsampling, dtype=self.dtype, name="head_upsampling"
+            self.prediction_upsampling, fused=self.fused_inference,
+            dtype=self.dtype, name="head_upsampling"
         )(pred)
 
         out: Dict[str, Any] = {"side_outputs": ()}

@@ -83,6 +83,7 @@ class EMSANet(nn.Module):
             else:
                 self.semantic_decoder = MLPDecoder(
                     task="semantic",
+                    fused_inference=cfg.fused_inference,
                     prediction_upsampling=cfg.upsampling_prediction,
                     normalization=cfg.decoder_normalization,
                     activation=cfg.activation,
@@ -117,6 +118,7 @@ class EMSANet(nn.Module):
             else:
                 self.instance_decoder = MLPDecoder(
                     task="instance",
+                    fused_inference=cfg.fused_inference,
                     prediction_upsampling=cfg.upsampling_prediction,
                     normalization=cfg.decoder_normalization,
                     activation=cfg.activation,
@@ -149,6 +151,7 @@ class EMSANet(nn.Module):
             else:
                 self.normal_decoder = MLPDecoder(
                     task="normal",
+                    fused_inference=cfg.fused_inference,
                     prediction_upsampling=cfg.upsampling_prediction,
                     normalization=cfg.decoder_normalization,
                     activation=cfg.activation,

@@ -57,9 +57,18 @@ class Upsampling(nn.Module):
 
     methods: 'learned-3x3-zeropad' (default), 'learned-3x3' (edge padding),
     'bilinear', 'nearest'.
+
+    With `fused=True` (inference), 'learned-3x3-zeropad' runs in exact
+    polyphase form (`ops/polyphase_upsample.py`): the depthwise conv is
+    decomposed into 4 parity filters at *input* resolution + one
+    depth-to-space, skipping the nearest-upsampled intermediate entirely
+    (measured ~18 ms of the 69 ms flagship forward in the naive form).
+    The param tree is identical to the unfused path — the kernel is read
+    from the same 'depthwise' conv — so checkpoints are interchangeable.
     """
 
     method: str = "learned-3x3-zeropad"
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,13 +82,32 @@ class Upsampling(nn.Module):
                 x, (n, 2 * h, 2 * w, c), method="bilinear"
             ).astype(x.dtype)
         if method in ("learned-3x3-zeropad", "learned-3x3"):
+            c = x.shape[-1]
+            # polyphase wins where the upsampled intermediate is large
+            # (measured on v5e b32: 2.4-6.8x at inputs >= 60x80; naive XLA
+            # is already fast at 30x40 and below) — tools/upsample_bench.py
+            h, w = x.shape[1], x.shape[2]
+            if (
+                method == "learned-3x3-zeropad"
+                and self.fused
+                and h * w >= 60 * 80
+                and not self.is_initializing()
+            ):
+                from emsanet_tpu.ops.polyphase_upsample import (
+                    upsample2x_depthwise_polyphase,
+                )
+
+                # kernel stays f32: parity-tap sums are built in param
+                # dtype and cast to x.dtype only at conv time (matches
+                # nn.Conv's promotion to within rounding).
+                kernel = self.variables["params"]["depthwise"]["kernel"]
+                return upsample2x_depthwise_polyphase(x, kernel)
             up = nearest_x2(x)
             if method == "learned-3x3":
                 up = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
                 padding = "VALID"
             else:
                 padding = "SAME"  # zero padding
-            c = x.shape[-1]
             return nn.Conv(
                 features=c,
                 kernel_size=(3, 3),

@@ -1,0 +1,85 @@
+"""Polyphase learned-3x3-zeropad upsampling vs the naive conv path.
+
+The fused inference path (`ops/polyphase_upsample.py`) must be exactly
+the reference semantics: nearest x2 followed by a SAME-zero-padded
+depthwise 3x3 (`nicr_mt_scene_analysis.model.upsampling`, used via
+emsanet/args.py:289-298).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emsanet_tpu.models.decoder import PredictionUpsampling
+from emsanet_tpu.models.upsampling import Upsampling
+from emsanet_tpu.ops.polyphase_upsample import (
+    polyphase_kernels,
+    upsample2x_depthwise_polyphase,
+    upsample2x_depthwise_shifted,
+)
+
+
+@pytest.mark.parametrize(
+    "shape", [(2, 7, 9, 5), (1, 12, 16, 40), (3, 8, 8, 3), (1, 1, 1, 2)]
+)
+def test_polyphase_matches_conv_path(shape):
+    rng = np.random.RandomState(sum(shape))
+    n, h, w, c = shape
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, 1, c), jnp.float32)
+    variables = {"params": {"depthwise": {"kernel": kernel}}}
+    ref = Upsampling("learned-3x3-zeropad").apply(variables, x)
+    out = upsample2x_depthwise_polyphase(x, kernel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    out2 = upsample2x_depthwise_shifted(x, kernel)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-5)
+
+
+def test_polyphase_kernel_layout():
+    # parity kernels preserve the total mass per channel x4 (each input
+    # pixel feeds exactly 4 output pixels under nearest x2)
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(3, 3, 1, 6), jnp.float32)
+    kp = polyphase_kernels(k)
+    assert kp.shape == (3, 3, 1, 24)
+    np.testing.assert_allclose(
+        float(kp.sum()), 4.0 * float(k.sum()), rtol=1e-5
+    )
+
+
+def test_fused_upsampling_module_matches_unfused():
+    # 60x80 input crosses the polyphase size gate (upsampling.py)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 60, 80, 12), jnp.float32)
+    mod = Upsampling("learned-3x3-zeropad")
+    v = mod.init(jax.random.PRNGKey(0), x)
+    # randomize away from the bilinear-mimic init
+    v = {"params": {"depthwise": {"kernel": jnp.asarray(
+        rng.randn(3, 3, 1, 12), jnp.float32)}}}
+    ref = mod.apply(v, x)
+    out = Upsampling("learned-3x3-zeropad", fused=True).apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_prediction_upsampling_matches_unfused():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 60, 80, 7), jnp.float32)
+    mod = PredictionUpsampling()
+    v = mod.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape), a.dtype), v
+    )
+    ref = mod.apply(v, x)
+    out = PredictionUpsampling(fused=True).apply(v, x)
+    assert out.shape == (1, 240, 320, 7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_init_param_tree_identical():
+    x = jnp.zeros((1, 4, 4, 3), jnp.float32)
+    v0 = PredictionUpsampling().init(jax.random.PRNGKey(0), x)
+    v1 = PredictionUpsampling(fused=True).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
