@@ -14,7 +14,7 @@ postprocessing.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -158,11 +158,24 @@ class PanopticQuality:
         else:
             self._update_single(pred, target)
 
-    def _update_single(self, pred: np.ndarray, target: np.ndarray):
-        div = self.label_divisor
-        pred = pred.astype(np.int64).reshape(-1)
-        target = target.astype(np.int64).reshape(-1)
+    def match_segments(
+        self, pred: np.ndarray, target: np.ndarray
+    ) -> List[Tuple[int, int, float]]:
+        """panopticapi-style segment matching for one image.
 
+        Returns [(target_id, pred_id, iou)] for all same-class pairs with
+        IoU > 0.5 (the panoptic instance meta used e.g. for the
+        orientation MAAE aggregation, reference key
+        'panoptic_mae_deeplab_deg').
+        """
+        _, _, _, _, _, _, matches = self._match(
+            pred.astype(np.int64).reshape(-1),
+            target.astype(np.int64).reshape(-1),
+        )
+        return matches
+
+    def _match(self, pred: np.ndarray, target: np.ndarray):
+        div = self.label_divisor
         void_t = (target // div) == self.ignored_label
         void_area_total = int(void_t.sum())
 
@@ -187,7 +200,7 @@ class PanopticQuality:
             pv_ids, pv_areas = np.unique(pv, return_counts=True)
             pred_void_inter = dict(zip(pv_ids.tolist(), pv_areas.tolist()))
 
-        matched_t, matched_p = set(), set()
+        matches: List[Tuple[int, int, float]] = []
         for (tid, pid), int_area in inter.items():
             t_cls = tid // div
             p_cls = pid // div
@@ -205,10 +218,25 @@ class PanopticQuality:
             # panopticapi subtracts pred∩void_gt from the union
             iou = int_area / union if union > 0 else 0.0
             if iou > 0.5:
-                self.tp[t_cls] += 1
-                self.iou_sum[t_cls] += iou
-                matched_t.add(tid)
-                matched_p.add(pid)
+                matches.append((tid, pid, iou))
+        return (t_ids, t_area, p_ids, p_area, inter, pred_void_inter,
+                matches)
+
+    def _update_single(self, pred: np.ndarray, target: np.ndarray):
+        div = self.label_divisor
+        pred = pred.astype(np.int64).reshape(-1)
+        target = target.astype(np.int64).reshape(-1)
+
+        (t_ids, t_area, p_ids, p_area, inter, pred_void_inter,
+         matches) = self._match(pred, target)
+
+        matched_t, matched_p = set(), set()
+        for tid, pid, iou in matches:
+            t_cls = tid // div
+            self.tp[t_cls] += 1
+            self.iou_sum[t_cls] += iou
+            matched_t.add(tid)
+            matched_p.add(pid)
 
         for tid in t_ids.tolist():
             t_cls = tid // div

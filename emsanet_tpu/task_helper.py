@@ -168,10 +168,16 @@ class PanopticTaskHelper(TaskHelperBase):
     + panoptic orientation MAAE."""
 
     def __init__(self, is_thing: Sequence[bool], n_classes_with_void: int,
-                 has_orientation: bool = False):
+                 has_orientation: bool = False,
+                 use_orientations: Optional[Sequence[bool]] = None):
         self.is_thing = np.asarray(is_thing, bool)
         self.n_classes = n_classes_with_void
         self.has_orientation = has_orientation
+        self.use_orientations = (
+            np.asarray(use_orientations, bool)
+            if use_orientations is not None
+            else self.is_thing
+        )
 
     def initialize(self):
         self.pq = PanopticQuality(self.n_classes, self.is_thing.tolist())
@@ -201,40 +207,53 @@ class PanopticTaskHelper(TaskHelperBase):
         self.miou.update(sem_after[valid], sem_gt[valid])
 
         if self.has_orientation and "orientations_instance" in predictions:
-            self._update_orientation(batch, predictions, valid)
+            self._update_orientation(
+                batch, predictions, valid, pred_pan, gt_pan
+            )
 
-    def _update_orientation(self, batch, predictions, valid):
-        """MAAE over predicted instances matched to GT instances."""
+    def _update_orientation(self, batch, predictions, valid, pred_pan,
+                            gt_pan):
+        """MAAE aggregated via the panoptic instance meta.
+
+        Reference protocol ('panoptic_mae_deeplab_deg', README.md:268-336):
+        predicted panoptic instances are matched to GT panoptic segments
+        by the panoptic-quality rule (same class, IoU > 0.5); for every
+        matched pair whose class uses orientations and whose GT instance
+        carries an annotated orientation, the angular error between the
+        per-instance predicted orientation and the GT orientation counts.
+        Unmatched predictions/GT contribute nothing (they are already
+        penalized through PQ).
+        """
         pred_angles = np.asarray(predictions["orientations_instance"])
-        inst_pred = np.asarray(predictions["instance_segmentation"])
-        inst_gt = np.asarray(batch["instance"])
         gt_orients = batch.get("orientations_present") or batch.get(
             "orientations"
         )
         if gt_orients is None:
             return
-        for b in range(inst_pred.shape[0]):
+        div = LABEL_DIVISOR
+        for b in range(pred_pan.shape[0]):
             if not valid[b]:
                 continue
             ori = gt_orients[b] if isinstance(gt_orients, list) else gt_orients
             if not ori:
                 continue
-            for pid in np.unique(inst_pred[b]):
-                if pid == 0:
-                    continue
-                mask = inst_pred[b] == pid
-                overlap_ids, counts = np.unique(
-                    inst_gt[b][mask], return_counts=True
-                )
-                best_gt = overlap_ids[np.argmax(counts)]
-                if best_gt == 0 or int(best_gt) not in ori:
-                    continue
-                # require majority overlap
-                if counts.max() < 0.5 * mask.sum():
+            for tid, pid, _ in self.pq.match_segments(
+                pred_pan[b], gt_pan[b]
+            ):
+                cls = tid // div
+                gt_inst = tid % div
+                pred_inst = pid % div
+                if (
+                    cls >= len(self.use_orientations)
+                    or not self.use_orientations[cls]
+                    or pred_inst == 0
+                    or int(gt_inst) not in ori
+                    or pred_inst - 1 >= pred_angles.shape[1]
+                ):
                     continue
                 self.mae.update(
-                    np.asarray([pred_angles[b, pid - 1]]),
-                    np.asarray([ori[int(best_gt)]]),
+                    np.asarray([pred_angles[b, pred_inst - 1]]),
+                    np.asarray([ori[int(gt_inst)]]),
                 )
 
     def validation_epoch_end(self):
@@ -326,7 +345,11 @@ def get_task_helpers(cfg, dataset_config) -> List[TaskHelperBase]:
     if cfg.model.enable_panoptic:
         helpers.append(
             PanopticTaskHelper(
-                is_thing, n_sem, has_orientation="orientation" in tasks
+                is_thing, n_sem,
+                has_orientation="orientation" in tasks,
+                use_orientations=(
+                    dataset_config.semantic_label_list.classes_use_orientations
+                ),
             )
         )
     if "orientation" in tasks:
