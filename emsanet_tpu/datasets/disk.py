@@ -29,7 +29,12 @@ from emsanet_tpu.datasets.base import (
     SampleIdentifier,
     SceneAnalysisDataset,
 )
-from emsanet_tpu.datasets.metadata import get_metadata_config
+from emsanet_tpu.datasets.metadata import (
+    INDOOR_DOMESTIC_SCENES,
+    get_metadata_config,
+    load_meta_config,
+    map_scene_to_indoor_domestic,
+)
 
 
 def _imread(path: str) -> np.ndarray:
@@ -59,11 +64,36 @@ class PreparedDataset(SceneAnalysisDataset):
         self.dataset_name = dataset_name
         self.split = split
         self.depth_mode = depth_mode
-        self._config = get_metadata_config(
+        # the prepared dataset's meta.json (label tables used at conversion
+        # time + depth stats computed from the real training data) is
+        # authoritative; built-in tables are the fallback
+        meta_config = load_meta_config(
+            dataset_path, split=split, depth_mode=depth_mode
+        )
+        self._config = meta_config or get_metadata_config(
             dataset_name,
             semantic_n_classes=semantic_n_classes,
             scene_use_indoor_domestic_labels=scene_use_indoor_domestic_labels,
         )
+        # scene names as stored on disk (int scene_class files index this
+        # list); the *exposed* scene list may be the indoor-domestic remap
+        self._scene_names_on_disk = self._config.scene_label_list.class_names
+        self._scene_domestic = bool(scene_use_indoor_domestic_labels)
+        if self._scene_domestic and (
+            meta_config is not None
+            or self._config.scene_label_list.class_names[1:]
+            != INDOOR_DOMESTIC_SCENES
+        ):
+            from emsanet_tpu.datasets.metadata import (
+                _build_scene_list,
+                build_dataset_config,
+            )
+
+            self._config = build_dataset_config(
+                semantic_label_list=self._config.semantic_label_list,
+                scene_label_list=_build_scene_list(INDOOR_DOMESTIC_SCENES),
+                depth_stats=self._config.depth_stats,
+            )
 
         split_dir = os.path.join(dataset_path, split)
         rgb_dir = os.path.join(split_dir, "rgb")
@@ -145,6 +175,35 @@ class PreparedDataset(SceneAnalysisDataset):
         ]
         return self
 
+    def _resolve_scene(self, content: str) -> int:
+        """Scene file content (int index into the on-disk list, or a raw
+        class name) -> index into the *exposed* scene label list, applying
+        the indoor-domestic remap when configured. Unknown names map to
+        'other indoor' when available, else void (0)."""
+        try:
+            idx = int(content)
+            name = (
+                self._scene_names_on_disk[idx]
+                if 0 <= idx < len(self._scene_names_on_disk)
+                else "void"
+            )
+            if not self._scene_domestic and (
+                self._config.scene_label_list.class_names
+                == self._scene_names_on_disk
+            ):
+                return idx  # fast path: exposed list is the on-disk list
+        except ValueError:
+            name = content
+        if self._scene_domestic:
+            name = map_scene_to_indoor_domestic(name)
+        try:
+            return self._config.scene_label_list.index(name)
+        except ValueError:
+            try:
+                return self._config.scene_label_list.index("other indoor")
+            except ValueError:
+                return 0
+
     def _path(self, kind: str, sample_id: str, ext: str = ".png") -> str:
         d = self._dirs.get(kind)
         if d is None:
@@ -187,13 +246,7 @@ class PreparedDataset(SceneAnalysisDataset):
         if "scene" in self.sample_keys:
             try:
                 with open(self._path("scene", sid, ".txt")) as fh:
-                    content = fh.read().strip()
-                try:
-                    sample["scene"] = int(content)
-                except ValueError:
-                    sample["scene"] = self._config.scene_label_list.index(
-                        content
-                    )
+                    sample["scene"] = self._resolve_scene(fh.read().strip())
             except FileNotFoundError:
                 sample["scene"] = 0
         if "normal" in self.sample_keys:
