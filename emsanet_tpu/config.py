@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 KNOWN_TASKS = ("semantic", "instance", "orientation", "scene", "normal")
 KNOWN_BACKBONES = (
@@ -204,7 +204,9 @@ class DataConfig:
     batch_size: int = 8  # args.py:657
     validation_batch_size: Optional[int] = None  # defaults to 3*batch_size
     n_workers: int = 8  # args.py:861
-    subset_train: float = 1.0  # args.py:867 (fraction or per-dataset list)
+    # args.py:865-881: one fraction, or a tuple with one fraction per
+    # concatenated dataset ('0.2:1.0' CLI syntax)
+    subset_train: Union[float, Tuple[float, ...]] = 1.0
     subset_deterministic: bool = False  # args.py:878
     cache_dataset: bool = False
     scannet_semantic_n_classes: int = 40  # args.py:894

@@ -29,28 +29,61 @@ from emsanet_tpu.preprocessing.collate import batch_collate
 class RandomSamplerSubset:
     """Random per-epoch subset sampler (SURVEY.md M8 'RandomSamplerSubset').
 
-    subset: fraction (0, 1] of samples drawn each epoch; deterministic =
+    subset: fraction (0, 1] of samples drawn each epoch, OR one fraction
+    per concatenated dataset ('0.2:1.0' CLI syntax, args.py:865-881) with
+    `section_lengths` giving the member dataset sizes. deterministic =
     same subset every epoch (args.py:867-881).
     """
 
     def __init__(
         self,
         n_samples: int,
-        subset: float = 1.0,
+        subset=1.0,
         deterministic: bool = False,
         seed: int = 0,
+        section_lengths: Optional[Sequence[int]] = None,
     ):
         self.n_samples = n_samples
-        self.subset = subset
+        fractions = (
+            (float(subset),) if np.isscalar(subset) else tuple(subset)
+        )
+        if len(fractions) == 1:
+            self.sections = ((0, n_samples, fractions[0]),)
+        else:
+            if section_lengths is None or len(section_lengths) != len(
+                fractions
+            ):
+                raise ValueError(
+                    f"{len(fractions)} subset fractions need "
+                    f"{len(fractions)} concatenated datasets "
+                    f"(got lengths {section_lengths})"
+                )
+            offsets = np.cumsum([0] + list(section_lengths))
+            assert int(offsets[-1]) == n_samples
+            self.sections = tuple(
+                (int(offsets[i]), int(section_lengths[i]), fractions[i])
+                for i in range(len(fractions))
+            )
+        self.subset = fractions[0] if len(fractions) == 1 else None
         self.deterministic = deterministic
         self.seed = seed
 
+    @property
+    def n_draw(self) -> int:
+        return sum(
+            max(int(round(n * frac)), 1) for _, n, frac in self.sections
+        )
+
     def indices(self, epoch: int) -> np.ndarray:
-        n_draw = max(int(round(self.n_samples * self.subset)), 1)
         rng_seed = self.seed if self.deterministic else self.seed + epoch
         rng = np.random.default_rng(rng_seed)
-        perm = rng.permutation(self.n_samples)
-        return perm[:n_draw]
+        parts = []
+        for offset, n, frac in self.sections:
+            k = max(int(round(n * frac)), 1)
+            parts.append(offset + rng.permutation(n)[:k])
+        out = np.concatenate(parts)
+        rng.shuffle(out)  # interleave datasets within the epoch
+        return out
 
 
 def _load_one(dataset: SceneAnalysisDataset, idx: int, rng_seed: int) -> dict:
@@ -88,9 +121,11 @@ class DataLoader:
         self.prefetch = prefetch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.sampler is not None:
-            n = max(int(round(n * self.sampler.subset)), 1)
+        n = (
+            self.sampler.n_draw
+            if self.sampler is not None
+            else len(self.dataset)
+        )
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -158,7 +193,7 @@ class DataHelper:
         batch_size: int,
         valid_batch_size: int,
         n_workers: int = 4,
-        subset_train: float = 1.0,
+        subset_train=1.0,  # float or per-concatenated-dataset fractions
         subset_deterministic: bool = False,
         overfit_n_batches: int = -1,
         seed: int = 0,
@@ -179,10 +214,27 @@ class DataHelper:
                 deterministic=True,
                 seed=seed,
             )
-        elif subset_train < 1.0:
-            sampler = RandomSamplerSubset(
-                len(dataset_train), subset_train, subset_deterministic, seed
+        else:
+            fractions = (
+                (float(subset_train),)
+                if np.isscalar(subset_train)
+                else tuple(subset_train)
             )
+            if len(fractions) > 1 or fractions[0] < 1.0:
+                # per-dataset fractions apply to the concat sections
+                # (reference args.py:865-881 '0.2:1.0' syntax)
+                section_lengths = (
+                    [len(d) for d in dataset_train.datasets]
+                    if hasattr(dataset_train, "datasets")
+                    else None
+                )
+                sampler = RandomSamplerSubset(
+                    len(dataset_train),
+                    fractions if len(fractions) > 1 else fractions[0],
+                    subset_deterministic,
+                    seed,
+                    section_lengths=section_lengths,
+                )
 
         self.train_loader = DataLoader(
             dataset_train,
@@ -233,7 +285,7 @@ def get_datahelper(cfg: EMSANetConfig) -> DataHelper:
         batch_size=cfg.data.batch_size,
         valid_batch_size=cfg.data.validation_batch_size or cfg.data.batch_size,
         n_workers=cfg.data.n_workers,
-        subset_train=float(cfg.data.subset_train),
+        subset_train=cfg.data.subset_train,
         subset_deterministic=cfg.data.subset_deterministic,
         overfit_n_batches=cfg.train.overfit_n_batches,
         seed=cfg.train.seed,

@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # public API since jax 0.8
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -96,7 +96,7 @@ def make_parallel_train_step(model, cfg, class_weights, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), batch_specs, P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         # donate the replicated state buffers (in-place update across steps)
         return jax.jit(mapped, donate_argnums=0)

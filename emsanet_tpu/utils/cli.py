@@ -179,7 +179,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--aug-scale-min", type=float, default=1.0)
     g.add_argument("--aug-scale-max", type=float, default=1.4)
     g.add_argument("--n-workers", type=int, default=8)
-    g.add_argument("--subset-train", type=float, default=1.0)
+    def _subset_train(s: str):
+        # '0.2' or per-concatenated-dataset '0.2:1.0' (args.py:865-881)
+        parts = tuple(float(v) for v in str(s).split(":"))
+        return parts[0] if len(parts) == 1 else parts
+
+    g.add_argument("--subset-train", type=_subset_train, default=1.0)
     g.add_argument("--subset-deterministic", action="store_true")
     g.add_argument("--cache-dataset", action="store_true")
     g.add_argument("--scannet-semantic-n-classes", type=int, default=40,

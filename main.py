@@ -172,6 +172,18 @@ def main(argv=None):
         )
 
         mesh = create_mesh(n_devices)
+        # fail fast (before any training) on batch sizes the mesh can't
+        # shard — the eval path refuses to fall back to unsharded execution
+        for name, bs in (
+            ("batch_size", cfg.data.batch_size),
+            ("validation_batch_size",
+             cfg.data.validation_batch_size or 3 * cfg.data.batch_size),
+        ):
+            if bs % mesh.devices.size != 0:
+                raise ValueError(
+                    f"{name}={bs} must be a multiple of the "
+                    f"{mesh.devices.size}-device mesh"
+                )
         train_step = make_parallel_train_step(model, cfg, class_weights, mesh)
         state = replicate_state(state, mesh)
         put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
@@ -198,9 +210,17 @@ def main(argv=None):
 
         def _eval_put(b):
             sizes = {v.shape[0] for v in b.values() if hasattr(v, "shape")}
-            if all(s % n_mesh == 0 for s in sizes):
-                return shard_batch(b, mesh)
-            return b
+            if not all(s % n_mesh == 0 for s in sizes):
+                # loaders pad every batch to a fixed size; reaching this
+                # means validation_batch_size does not divide the mesh —
+                # fail loudly instead of silently recompiling unsharded
+                # (round-1 VERDICT weak #5)
+                raise ValueError(
+                    f"validation batch sizes {sorted(sizes)} do not divide "
+                    f"the {n_mesh}-device mesh; set --validation-batch-size "
+                    f"to a multiple of {n_mesh}"
+                )
+            return shard_batch(b, mesh)
     else:
         _eval_put = lambda b: b  # noqa: E731
     task_helpers = get_task_helpers(cfg, ds_config)

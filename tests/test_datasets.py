@@ -145,3 +145,58 @@ def test_multi_dataset_concat_via_registry():
     assert len(ds) == 6
     s = ds.load_raw(5)
     assert s["rgb"].shape == (32, 32, 3)
+
+
+def test_subset_sampler_per_dataset_fractions():
+    # per-concatenated-dataset subset fractions (args.py:865-881)
+    from emsanet_tpu.data import RandomSamplerSubset
+
+    s = RandomSamplerSubset(
+        100, subset=(0.2, 1.0), deterministic=False, seed=3,
+        section_lengths=(40, 60),
+    )
+    assert s.n_draw == 8 + 60
+    idx = s.indices(epoch=0)
+    assert len(idx) == 68
+    first = idx[idx < 40]
+    second = idx[idx >= 40]
+    assert len(first) == 8 and len(np.unique(first)) == 8
+    assert len(second) == 60 and len(np.unique(second)) == 60
+    # non-deterministic: different subset each epoch
+    assert not np.array_equal(np.sort(s.indices(0)), np.sort(s.indices(1)))
+    # deterministic: identical every epoch
+    sd = RandomSamplerSubset(
+        100, subset=(0.2, 1.0), deterministic=True, seed=3,
+        section_lengths=(40, 60),
+    )
+    assert np.array_equal(sd.indices(0), sd.indices(5))
+
+
+def test_subset_sampler_fraction_count_mismatch():
+    from emsanet_tpu.data import RandomSamplerSubset
+
+    with pytest.raises(ValueError):
+        RandomSamplerSubset(100, subset=(0.5, 0.5), section_lengths=(100,))
+    with pytest.raises(ValueError):
+        RandomSamplerSubset(100, subset=(0.5, 0.5), section_lengths=None)
+
+
+def test_datahelper_concat_subset_fractions():
+    from emsanet_tpu.data import DataHelper
+    from emsanet_tpu.datasets.base import ConcatDataset
+    from emsanet_tpu.datasets.synthetic import SyntheticDataset
+
+    keys = ("identifier", "rgb", "depth")
+    a = SyntheticDataset(split="train", n_samples=10, height=16, width=16,
+                         sample_keys=keys)
+    b = SyntheticDataset(split="train", n_samples=20, height=16, width=16,
+                         sample_keys=keys)
+    helper = DataHelper(
+        dataset_train=ConcatDataset([a, b]),
+        dataset_valid=SyntheticDataset(split="valid", n_samples=4,
+                                       height=16, width=16, sample_keys=keys),
+        batch_size=2, valid_batch_size=2, n_workers=1,
+        subset_train=(0.5, 0.1),
+    )
+    assert helper.train_loader.sampler.n_draw == 5 + 2
+    assert len(helper.train_loader) == 3  # drop_last: 7 // 2
