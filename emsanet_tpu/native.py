@@ -52,6 +52,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "hsv_jitter_u8"):  # stale build: refresh once
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
 
     c_f32p = ctypes.POINTER(ctypes.c_float)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -75,6 +82,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.normalize_depth_f32.argtypes = [
         c_f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, c_f32p,
+    ]
+    lib.hsv_jitter_u8.argtypes = [
+        c_u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, c_u8p,
     ]
     _LIB = lib
     return _LIB
@@ -174,5 +185,23 @@ def normalize_depth(depth: np.ndarray, mean: float, std: float,
     lib.normalize_depth_f32(
         _ptr(depth, ctypes.c_float), depth.size, float(mean), float(std),
         int(raw_depth), _ptr(out, ctypes.c_float),
+    )
+    return out
+
+
+def hsv_jitter(rgb_u8: np.ndarray, dh: float, ds: float, dv: float):
+    """HSV jitter on (h, w, 3) uint8 RGB; None if lib unavailable.
+
+    dh/ds/dv are the pre-drawn uniform jitters (the RNG stays in Python so
+    the augmentation stream is identical with or without the native lib).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+    out = np.empty(rgb_u8.shape, np.uint8)
+    lib.hsv_jitter_u8(
+        _ptr(rgb_u8, ctypes.c_uint8), rgb_u8.shape[0] * rgb_u8.shape[1],
+        float(dh), float(ds), float(dv), _ptr(out, ctypes.c_uint8),
     )
     return out

@@ -58,12 +58,25 @@ def postprocess_semantic(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def _nms_keep_mask(heatmap: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
-    """Keep local maxima: x == maxpool_k(x), SAME padding (M6 'Instance')."""
+    """Keep local maxima: x == maxpool_k(x), SAME padding (M6 'Instance').
+
+    The square max-pool is separable (max is associative): two 1-D
+    reduce_windows measured 5.5x faster than the 2-D window at
+    (32, 480, 640) on v5e (tools/postproc_breakdown.py).
+    """
     pooled = jax.lax.reduce_window(
         heatmap,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(1, kernel_size, kernel_size),
+        window_dimensions=(1, kernel_size, 1),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    pooled = jax.lax.reduce_window(
+        pooled,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, kernel_size),
         window_strides=(1, 1, 1),
         padding="SAME",
     )

@@ -189,4 +189,70 @@ void normalize_depth_f32(const float* depth, int64_t n, float mean,
   }
 }
 
+// ---------------------------------------------------------------------------
+// HSV jitter (train augmentation). The numpy implementation
+// (transforms.RandomHSVJitter) was the loader's hottest op (~71 ms of a
+// 112 ms sample at 672x896); this is the same math per pixel in one pass.
+// dh/ds/dv are the already-drawn uniform jitters (RNG stays in Python for
+// determinism parity). rgb/out: (n_pixels, 3) uint8 (may alias).
+void hsv_jitter_u8(const uint8_t* rgb, int64_t n_pixels, float dh, float ds,
+                   float dv, uint8_t* out) {
+  for (int64_t idx = 0; idx < n_pixels; ++idx) {
+    const float r = (float)rgb[3 * idx + 0] / 255.0f;
+    const float g = (float)rgb[3 * idx + 1] / 255.0f;
+    const float b = (float)rgb[3 * idx + 2] / 255.0f;
+    const float maxc = r > g ? (r > b ? r : b) : (g > b ? g : b);
+    const float minc = r < g ? (r < b ? r : b) : (g < b ? g : b);
+    float v = maxc;
+    const float delta = maxc - minc;
+    float s = maxc > 0.0f
+                  ? delta / (maxc > 1e-12f ? maxc : 1e-12f)
+                  : 0.0f;
+    float h;
+    const float dd = delta > 1e-12f ? delta : 1e-12f;
+    if (maxc == r) {
+      // python float % 6: floored modulo (non-negative result)
+      h = fmodf((g - b) / dd, 6.0f);
+      if (h < 0.0f) h += 6.0f;
+    } else if (maxc == g) {
+      h = (b - r) / dd + 2.0f;
+    } else {
+      h = (r - g) / dd + 4.0f;
+    }
+    h /= 6.0f;
+    if (!(delta > 0.0f)) h = 0.0f;
+
+    h = fmodf(h + dh, 1.0f);
+    if (h < 0.0f) h += 1.0f;
+    s += ds;
+    s = s < 0.0f ? 0.0f : (s > 1.0f ? 1.0f : s);
+    v += dv;
+    v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+
+    const float h6 = h * 6.0f;
+    const float fl = floorf(h6);
+    int i = (int)fl % 6;
+    if (i < 0) i += 6;
+    const float f = h6 - fl;
+    const float p = v * (1.0f - s);
+    const float q = v * (1.0f - f * s);
+    const float t = v * (1.0f - (1.0f - f) * s);
+    float ro, go, bo;
+    switch (i) {
+      case 0: ro = v; go = t; bo = p; break;
+      case 1: ro = q; go = v; bo = p; break;
+      case 2: ro = p; go = v; bo = t; break;
+      case 3: ro = p; go = q; bo = v; break;
+      case 4: ro = t; go = p; bo = v; break;
+      default: ro = v; go = p; bo = q; break;
+    }
+    const float vals[3] = {ro, go, bo};
+    for (int ch = 0; ch < 3; ++ch) {
+      float x = vals[ch] * 255.0f;
+      x = x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
+      out[3 * idx + ch] = (uint8_t)x;  // trunc, matching .astype(np.uint8)
+    }
+  }
+}
+
 }  // extern "C"

@@ -128,3 +128,38 @@ def test_native_speedup_instance_targets():
     t_numpy = time.perf_counter() - t0
     # native runs 3 iterations; require it at least matches numpy's 1
     assert t_native < t_numpy * 3
+
+
+def test_native_hsv_jitter_parity():
+    """Native HSV jitter matches the numpy transform path within 1 LSB.
+
+    -ffast-math FP contraction can flip ~1e-5 of pixels by one 8-bit step;
+    the augmentation stream is otherwise identical (RNG stays in Python).
+    """
+    from emsanet_tpu.preprocessing.transforms import RandomHSVJitter
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(11)
+    tf = RandomHSVJitter(hue_jitter=0.1, saturation_jitter=0.2,
+                         value_jitter=0.15)
+    n_diff = n_total = 0
+    for seed in range(8):
+        rgb = rng.randint(0, 256, (120, 160, 3)).astype(np.uint8)
+        s_nat = {"rgb": rgb.copy(),
+                 "_rng": np.random.RandomState(100 + seed)}
+        s_np = {"rgb": rgb.copy(),
+                "_rng": np.random.RandomState(100 + seed)}
+        out_nat = tf(s_nat)["rgb"]
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "hsv_jitter", lambda *a: None):
+            out_np = tf(s_np)["rgb"]
+        diff = np.abs(out_nat.astype(np.int32) - out_np.astype(np.int32))
+        assert diff.max() <= 1
+        n_diff += int((diff > 0).sum())
+        n_total += diff.size
+    assert n_diff / n_total < 1e-4
