@@ -166,17 +166,40 @@ class DataLoader:
                 yield make_batch(b)
             return
 
+        # Sample-level parallelism: individual _load_one calls go to the
+        # pool (they release the GIL in PIL decode and the ctypes native
+        # kernels), a prefetch window of whole batches stays in flight,
+        # and the consumer thread collates completed batches in order.
+        def batch_futures(pool, b):
+            lo = b * self.batch_size
+            idxs = indices[lo : lo + self.batch_size].tolist()
+            n_real = len(idxs)
+            while len(idxs) < self.batch_size:
+                idxs.append(idxs[-1])
+            futs = [
+                pool.submit(
+                    _load_one, self.dataset, int(i),
+                    (self.seed + epoch) * 1_000_003 + int(i),
+                )
+                for i in idxs
+            ]
+            return futs, n_real
+
         with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
-            pending = []
             window = self.prefetch + 1
-            for b in range(min(window, n_batches)):
-                pending.append(pool.submit(make_batch, b))
-            next_submit = min(window, n_batches)
-            for b in range(n_batches):
-                batch = pending.pop(0).result()
+            pending = [
+                batch_futures(pool, b)
+                for b in range(min(window, n_batches))
+            ]
+            next_submit = len(pending)
+            for _ in range(n_batches):
+                futs, n_real = pending.pop(0)
+                samples = [f.result() for f in futs]
                 if next_submit < n_batches:
-                    pending.append(pool.submit(make_batch, next_submit))
+                    pending.append(batch_futures(pool, next_submit))
                     next_submit += 1
+                batch = batch_collate(samples)
+                batch["_valid_mask"] = np.arange(self.batch_size) < n_real
                 yield batch
 
     def __iter__(self):

@@ -58,6 +58,7 @@ class PreparedDataset(SceneAnalysisDataset):
         cameras: Optional[Sequence[str]] = None,
         scene_use_indoor_domestic_labels: bool = False,
         subsample: Optional[int] = None,
+        use_packed: bool = True,
     ):
         super().__init__(sample_keys=sample_keys, use_cache=use_cache)
         self.dataset_path = dataset_path
@@ -140,6 +141,19 @@ class PreparedDataset(SceneAnalysisDataset):
                     return d
             return None
 
+        # packed raw binaries (tools/pack_dataset.py): mmap-ed, zero-decode
+        self._packed = None
+        self._packed_maps: Dict[str, np.memmap] = {}
+        if use_packed:
+            idx_path = os.path.join(split_dir, "packed", "index.json")
+            if os.path.isfile(idx_path):
+                with open(idx_path) as fh:
+                    packed = json.load(fh)
+                packed["pos_by_id"] = {
+                    sid: i for i, sid in enumerate(packed["ids"])
+                }
+                self._packed = packed
+
         n_cls = semantic_n_classes or self._config.n_semantic_classes_without_void
         self._dirs = {
             "rgb": rgb_dir,
@@ -155,6 +169,28 @@ class PreparedDataset(SceneAnalysisDataset):
             "scene": find_dir("scene_class", "scene"),
             "normal": find_dir("normal", "normals"),
         }
+        if self._packed is not None:
+            mods = self._packed["modalities"]
+
+            def find_mod(*candidates: str) -> Optional[str]:
+                for c in candidates:
+                    if c in mods:
+                        return c
+                return None
+
+            self._packed_names = {
+                "rgb": find_mod("rgb"),
+                "depth": find_mod(
+                    "depth_raw" if depth_mode == "raw" else "depth",
+                    "depth", "depth_raw",
+                ),
+                "semantic": find_mod(
+                    f"semantic_{n_cls}", "semantic",
+                    f"labels_{n_cls}", "labels",
+                ),
+                "instance": find_mod("instance", "instances"),
+                "normal": find_mod("normal", "normals"),
+            }
 
     def __len__(self) -> int:
         return len(self._ids)
@@ -213,43 +249,94 @@ class PreparedDataset(SceneAnalysisDataset):
             )
         return os.path.join(d, sample_id + ext)
 
+    def _packed_read(self, kind: str, sid: str) -> Optional[np.ndarray]:
+        """Zero-decode read from the packed binaries; None if unavailable."""
+        if self._packed is None:
+            return None
+        name = self._packed_names.get(kind)
+        if name is None:
+            return None
+        pos = self._packed["pos_by_id"].get(sid)
+        if pos is None:
+            return None
+        mod = self._packed["modalities"][name]
+        mm = self._packed_maps.get(name)
+        if mm is None:
+            mm = np.memmap(
+                os.path.join(self._split_dir, "packed", name + ".bin"),
+                dtype=np.dtype(mod["dtype"]), mode="r",
+            )
+            self._packed_maps[name] = mm
+        shape = mod["shapes"][pos]
+        off = mod["offsets"][pos] // mm.itemsize
+        n = int(np.prod(shape))
+        return np.asarray(mm[off:off + n]).reshape(shape)
+
     def _load(self, idx: int) -> dict:
         sid = self._ids[idx]
         sample: dict = {}
         if "identifier" in self.sample_keys:
             sample["identifier"] = SampleIdentifier((self.split, sid))
         if "rgb" in self.sample_keys:
-            rgb = _imread(self._path("rgb", sid, self._exts.get(sid, ".png")))
-            if rgb.ndim == 2:
-                rgb = np.stack([rgb] * 3, axis=-1)
-            sample["rgb"] = rgb[..., :3].astype(np.uint8)
+            rgb = self._packed_read("rgb", sid)
+            if rgb is None:
+                rgb = _imread(
+                    self._path("rgb", sid, self._exts.get(sid, ".png"))
+                )
+                if rgb.ndim == 2:
+                    rgb = np.stack([rgb] * 3, axis=-1)
+                rgb = rgb[..., :3]
+            sample["rgb"] = rgb.astype(np.uint8)
         if "depth" in self.sample_keys:
-            sample["depth"] = _imread(self._path("depth", sid)).astype(
-                np.float32
-            )
+            depth = self._packed_read("depth", sid)
+            if depth is None:
+                depth = _imread(self._path("depth", sid))
+            sample["depth"] = depth.astype(np.float32)
         if "semantic" in self.sample_keys:
-            sample["semantic"] = _imread(self._path("semantic", sid)).astype(
-                np.int32
-            )
+            sem = self._packed_read("semantic", sid)
+            if sem is None:
+                sem = _imread(self._path("semantic", sid))
+            sample["semantic"] = sem.astype(np.int32)
         if "instance" in self.sample_keys:
-            sample["instance"] = _imread(self._path("instance", sid)).astype(
-                np.int32
-            )
+            inst = self._packed_read("instance", sid)
+            if inst is None:
+                inst = _imread(self._path("instance", sid))
+            sample["instance"] = inst.astype(np.int32)
         if "orientations" in self.sample_keys:
-            try:
-                with open(self._path("orientations", sid, ".json")) as fh:
-                    sample["orientations"] = {
-                        int(k): float(v) for k, v in json.load(fh).items()
-                    }
-            except FileNotFoundError:
-                sample["orientations"] = {}
+            if self._packed is not None and "orientations" in self._packed:
+                raw_ori = self._packed["orientations"].get(sid, {})
+                sample["orientations"] = {
+                    int(k): float(v) for k, v in raw_ori.items()
+                }
+            else:
+                try:
+                    with open(
+                        self._path("orientations", sid, ".json")
+                    ) as fh:
+                        sample["orientations"] = {
+                            int(k): float(v)
+                            for k, v in json.load(fh).items()
+                        }
+                except FileNotFoundError:
+                    sample["orientations"] = {}
         if "scene" in self.sample_keys:
-            try:
-                with open(self._path("scene", sid, ".txt")) as fh:
-                    sample["scene"] = self._resolve_scene(fh.read().strip())
-            except FileNotFoundError:
-                sample["scene"] = 0
+            if self._packed is not None and "scene" in self._packed:
+                content = self._packed["scene"].get(sid)
+                sample["scene"] = (
+                    self._resolve_scene(content) if content is not None
+                    else 0
+                )
+            else:
+                try:
+                    with open(self._path("scene", sid, ".txt")) as fh:
+                        sample["scene"] = self._resolve_scene(
+                            fh.read().strip()
+                        )
+                except FileNotFoundError:
+                    sample["scene"] = 0
         if "normal" in self.sample_keys:
-            raw = _imread(self._path("normal", sid)).astype(np.float32)
-            sample["normal"] = raw / 127.5 - 1.0
+            raw = self._packed_read("normal", sid)
+            if raw is None:
+                raw = _imread(self._path("normal", sid))
+            sample["normal"] = raw.astype(np.float32) / 127.5 - 1.0
         return sample

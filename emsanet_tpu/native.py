@@ -46,19 +46,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("EMSANET_TPU_NO_NATIVE"):
         return None
-    if not os.path.isfile(_SO_PATH) and not _build():
+    src = os.path.join(_NATIVE_DIR, "emsanet_native.cpp")
+    stale = (
+        not os.path.isfile(_SO_PATH)
+        or (os.path.isfile(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    )
+    if stale and not _build() and not os.path.isfile(_SO_PATH):
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "hsv_jitter_u8"):  # stale build: refresh once
-        if not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            return None
 
     c_f32p = ctypes.POINTER(ctypes.c_float)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -83,10 +82,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c_f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, c_f32p,
     ]
-    lib.hsv_jitter_u8.argtypes = [
-        c_u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
-        ctypes.c_float, c_u8p,
-    ]
+    if hasattr(lib, "hsv_jitter_u8"):  # absent in a stale prebuilt .so
+        lib.hsv_jitter_u8.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, c_u8p,
+        ]
     _LIB = lib
     return _LIB
 
@@ -196,7 +196,7 @@ def hsv_jitter(rgb_u8: np.ndarray, dh: float, ds: float, dv: float):
     the augmentation stream is identical with or without the native lib).
     """
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "hsv_jitter_u8"):
         return None
     rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
     out = np.empty(rgb_u8.shape, np.uint8)

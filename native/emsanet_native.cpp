@@ -209,21 +209,23 @@ void hsv_jitter_u8(const uint8_t* rgb, int64_t n_pixels, float dh, float ds,
                   ? delta / (maxc > 1e-12f ? maxc : 1e-12f)
                   : 0.0f;
     float h;
-    const float dd = delta > 1e-12f ? delta : 1e-12f;
+    const float rd = 1.0f / (delta > 1e-12f ? delta : 1e-12f);
     if (maxc == r) {
-      // python float % 6: floored modulo (non-negative result)
-      h = fmodf((g - b) / dd, 6.0f);
+      // (g-b)/delta is already in [-1, 1]: floored %6 == +6 when negative
+      h = (g - b) * rd;
       if (h < 0.0f) h += 6.0f;
     } else if (maxc == g) {
-      h = (b - r) / dd + 2.0f;
+      h = (b - r) * rd + 2.0f;
     } else {
-      h = (r - g) / dd + 4.0f;
+      h = (r - g) * rd + 4.0f;
     }
-    h /= 6.0f;
+    h *= (1.0f / 6.0f);
     if (!(delta > 0.0f)) h = 0.0f;
 
-    h = fmodf(h + dh, 1.0f);
-    if (h < 0.0f) h += 1.0f;
+    // h in [0,1), |dh| < 1 in practice: wrap with adds, no fmod
+    h += dh;
+    while (h < 0.0f) h += 1.0f;
+    while (h >= 1.0f) h -= 1.0f;
     s += ds;
     s = s < 0.0f ? 0.0f : (s > 1.0f ? 1.0f : s);
     v += dv;
