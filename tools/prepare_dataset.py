@@ -544,6 +544,166 @@ def prepare_sunrgbd(toolbox_root, out_dir, splits=("train", "test"),
     print(f"done: {counters} -> {out_dir}")
 
 
+def _hypersim_planar_depth(dist_m, focal_px):
+    """Hypersim depth_meters.hdf5 stores distance to the camera center
+    along the ray; convert to planar depth (z along the optical axis):
+    z = dist * f / sqrt(x^2 + y^2 + f^2) with (x, y) the pixel offsets
+    from the image center (the standard apple/ml-hypersim recipe)."""
+    h, w = dist_m.shape
+    x = np.linspace(-0.5 * w + 0.5, 0.5 * w - 0.5, w, dtype=np.float32)
+    y = np.linspace(-0.5 * h + 0.5, 0.5 * h - 0.5, h, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    norm = np.sqrt(xx * xx + yy * yy + focal_px * focal_px)
+    return dist_m * (focal_px / norm)
+
+
+def _read_h5(path):
+    import h5py
+
+    with h5py.File(path, "r") as fh:
+        return np.asarray(fh["dataset"])
+
+
+def prepare_hypersim(raw_root, out_dir, splits=("train", "valid", "test"),
+                     subsample=None, max_scenes=None):
+    """Convert the apple-hypersim raw download into the prepared layout.
+
+    Reference: prepare_datasets.sh:48-57 (`nicr_sa_prepare_dataset
+    hypersim ... --no-tilt-shift-conversion`); the L2 converter lives in
+    the unvendored nicr_scene_analysis_datasets package, so this is an
+    independent implementation of the documented raw layout:
+
+      <raw>/metadata_images_split_scene_v1.csv   (official split)
+      <raw>/<scene>/images/scene_<cam>_final_preview/frame.NNNN.tonemap.jpg
+      <raw>/<scene>/images/scene_<cam>_geometry_hdf5/frame.NNNN.
+          {depth_meters,semantic,semantic_instance,normal_cam}.hdf5
+
+    Depth is converted from ray distance to planar z (see
+    `_hypersim_planar_depth`) and stored as uint16 millimetres. Semantic
+    is NYUv2-40 (-1 -> 0 void). Scene classes come from
+    metadata_camera_trajectories.csv ('Scene type' column) when present.
+    The reference's `--additional-subsamples 2 5 10 20` become load-time
+    `PreparedDataset(subsample=N)` over the same sorted id order; an
+    explicit `--subsample N` here writes every Nth frame instead.
+    """
+    import csv
+
+    split_csv = os.path.join(raw_root, "metadata_images_split_scene_v1.csv")
+    if not os.path.isfile(split_csv):
+        raise FileNotFoundError(
+            f"missing official split file: {split_csv}"
+        )
+    split_map = {"train": "train", "val": "valid", "test": "test"}
+    rows = []
+    with open(split_csv) as fh:
+        for row in csv.DictReader(fh):
+            if row.get("included_in_public_release", "True") not in (
+                "True", "true", "1"
+            ):
+                continue
+            split = split_map.get(
+                row["split_partition_name"], row["split_partition_name"]
+            )
+            if split not in splits:
+                continue
+            rows.append((row["scene_name"], row["camera_name"],
+                         int(row["frame_id"]), split))
+    rows.sort()
+    if max_scenes:
+        keep = sorted({r[0] for r in rows})[:max_scenes]
+        rows = [r for r in rows if r[0] in set(keep)]
+    if subsample and subsample > 1:
+        counters = {}
+        kept = []
+        for r in rows:
+            k = counters.get(r[3], 0)
+            counters[r[3]] = k + 1
+            if k % subsample == 0:
+                kept.append(r)
+        rows = kept
+
+    # scene types (metadata_camera_trajectories.csv: 'Animation' is
+    # '<scene>_<cam>', 'Scene type' is e.g. 'living room')
+    scene_type = {}
+    traj_csv = os.path.join(raw_root, "metadata_camera_trajectories.csv")
+    if os.path.isfile(traj_csv):
+        with open(traj_csv) as fh:
+            for row in csv.DictReader(fh):
+                anim = row.get("Animation", "")
+                stype = (row.get("Scene type") or "").strip().lower()
+                if anim and stype:
+                    scene_type[anim] = stype
+    scene_names = sorted(set(scene_type.values()))
+
+    n_written = 0
+    for scene, cam, frame, split in rows:
+        img_dir = os.path.join(raw_root, scene, "images")
+        prev = os.path.join(img_dir, f"scene_{cam}_final_preview",
+                            f"frame.{frame:04d}.tonemap.jpg")
+        geom = os.path.join(img_dir, f"scene_{cam}_geometry_hdf5")
+        dep_p = os.path.join(geom, f"frame.{frame:04d}.depth_meters.hdf5")
+        sem_p = os.path.join(geom, f"frame.{frame:04d}.semantic.hdf5")
+        ins_p = os.path.join(geom,
+                             f"frame.{frame:04d}.semantic_instance.hdf5")
+        nrm_p = os.path.join(geom, f"frame.{frame:04d}.normal_cam.hdf5")
+        if not (os.path.isfile(prev) and os.path.isfile(dep_p)
+                and os.path.isfile(sem_p)):
+            continue
+        sid = f"{scene}_{cam}_{frame:04d}"
+
+        from PIL import Image
+
+        rgb = np.asarray(Image.open(prev).convert("RGB"))
+        _save_png(os.path.join(out_dir, split, "rgb", sid + ".png"), rgb)
+
+        dist = _read_h5(dep_p).astype(np.float32)
+        # hypersim renders at 1024x768 with f=886.81px; scale if resized
+        focal = 886.81 * (dist.shape[1] / 1024.0)
+        planar = _hypersim_planar_depth(np.nan_to_num(dist), focal)
+        depth_mm = np.clip(planar * 1000.0, 0, 65535).astype(np.uint16)
+        _save_png(os.path.join(out_dir, split, "depth", sid + ".png"),
+                  depth_mm)
+
+        sem = _read_h5(sem_p).astype(np.int32)
+        sem = np.where(sem < 0, 0, sem)  # -1 -> void
+        _save_png(os.path.join(out_dir, split, "semantic_40", sid + ".png"),
+                  np.clip(sem, 0, 40).astype(np.uint8))
+
+        if os.path.isfile(ins_p):
+            inst = _read_h5(ins_p).astype(np.int32)
+            inst = np.where(inst < 0, 0, inst)
+            # remap to consecutive per-frame ids (fits uint16)
+            uniq = np.unique(inst)
+            uniq = uniq[uniq > 0]
+            out = np.zeros_like(inst)
+            for new_id, old in enumerate(uniq, start=1):
+                out[inst == old] = new_id
+            _save_png(os.path.join(out_dir, split, "instance",
+                                   sid + ".png"), out.astype(np.uint16))
+
+        if os.path.isfile(nrm_p):
+            nrm = np.nan_to_num(_read_h5(nrm_p).astype(np.float32))
+            enc = np.clip((nrm + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            _save_png(os.path.join(out_dir, split, "normal", sid + ".png"),
+                      enc)
+
+        stype = scene_type.get(f"{scene}_{cam}")
+        if stype:
+            sc_path = os.path.join(out_dir, split, "scene_class",
+                                   sid + ".txt")
+            os.makedirs(os.path.dirname(sc_path), exist_ok=True)
+            with open(sc_path, "w") as fh:
+                fh.write(str(scene_names.index(stype) + 1))  # 0 = void
+        n_written += 1
+        if n_written % 200 == 0:
+            print(f"  {n_written} frames written...", flush=True)
+
+    from emsanet_tpu.datasets.metadata import _NYUV2_40
+
+    write_meta(out_dir, _NYUV2_40, scene_names)
+    print(f"done: {out_dir} ({n_written} frames)")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -620,6 +780,15 @@ def main(argv=None):
                        "(reference prepare_datasets.sh:10-19); 'segments': "
                        "from seg.mat segment labels")
 
+    p_hyp = sub.add_parser("hypersim")
+    p_hyp.add_argument("--raw", required=True,
+                       help="apple-hypersim download root (contains "
+                       "metadata_images_split_scene_v1.csv and ai_* dirs)")
+    p_hyp.add_argument("--out", required=True)
+    p_hyp.add_argument("--subsample", type=int, default=None,
+                       help="write every Nth frame per split")
+    p_hyp.add_argument("--max-scenes", type=int, default=None)
+
     p_syn = sub.add_parser("synthetic")
     p_syn.add_argument("--out", required=True)
     p_syn.add_argument("--n-train", type=int, default=16)
@@ -633,6 +802,9 @@ def main(argv=None):
     elif ns.dataset == "sunrgbd":
         prepare_sunrgbd(ns.toolbox_root, ns.out,
                         instances_version=ns.instances_version)
+    elif ns.dataset == "hypersim":
+        prepare_hypersim(ns.raw, ns.out, subsample=ns.subsample,
+                         max_scenes=ns.max_scenes)
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
