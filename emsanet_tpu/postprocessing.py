@@ -47,10 +47,15 @@ def postprocess_semantic(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     0-based in the void-free label space (callers add 1 for the full
     label space, matching the reference's downstream usage).
     """
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    score = jnp.max(probs, axis=-1)
-    return {"segmentation_idx": idx, "score": score, "probs": probs}
+    # max softmax prob == exp(max - logsumexp): skips materializing the
+    # (N, H, W, C) prob tensor (6.69 -> 2.32 ms at b32 480x640 C40 on
+    # v5e, tools/pipeline_bench.py)
+    x = logits.astype(jnp.float32)
+    idx = jnp.argmax(x, axis=-1).astype(jnp.int32)
+    score = jnp.exp(
+        jnp.max(x, axis=-1) - jax.scipy.special.logsumexp(x, axis=-1)
+    )
+    return {"segmentation_idx": idx, "score": score}
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,13 @@ def _pred_at_gt_resolution(batch, pred_ids: np.ndarray, gt_key: str):
     gt_full = batch.get(f"{gt_key}_fullres")
     if gt_full is None:
         return pred_ids, np.asarray(batch[gt_key])
+    prepad = batch.get("_prepad_hw")  # bucketed full-res validation
+    if prepad is not None:
+        prepad = np.asarray(prepad)
+        pred_ids = [
+            p[: int(prepad[i, 0]), : int(prepad[i, 1])]
+            for i, p in enumerate(pred_ids)
+        ]
     gt_full = np.asarray(gt_full)
     oh, ow = gt_full.shape[-2:]
     pred_full = np.stack(

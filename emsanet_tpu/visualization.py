@@ -195,17 +195,72 @@ def visualize_orientation(orientation: np.ndarray,
 def visualize_instance_orientations(
     instance: np.ndarray,
     orientations: Dict[int, float],
+    shared_color_generator: Optional[InstanceColorGenerator] = None,
+    thickness: int = 3,
+    font_size: int = 45,
+    bg_color: int = 0,
+    bg_color_font: str = "black",
+    draw_arrows: bool = True,
 ) -> np.ndarray:
-    """Per-instance orientations painted over the instance mask."""
+    """Per-instance orientation overlay: instance masks filled with the
+    shared instance color plus a centroid arrow along the yaw (0 deg =
+    image-up, clockwise) and the angle in degrees as text.
+
+    Mirrors the reference overlay surface (emsanet/visualization.py:37-49
+    KWARGS_INSTANCE_ORIENTATION{_WHITEBG} with thickness/font_size/
+    bg_color/bg_color_font; renderer in the unvendored
+    nicr_mt_scene_analysis.visualization).
+    """
     inst = np.asarray(instance)
-    out = np.zeros((*inst.shape, 3), np.uint8)
-    for iid, theta in (orientations or {}).items():
+    out = np.full((*inst.shape, 3), np.uint8(bg_color), np.uint8)
+    items = sorted((orientations or {}).items())
+    for iid, theta in items:
         mask = inst == iid
-        hue = (theta / (2 * np.pi)) % 1.0
-        color = (_hsv_to_rgb(np.asarray([hue]), np.asarray([1.0]),
-                             np.asarray([1.0]))[0] * 255).astype(np.uint8)
+        if not mask.any():
+            continue
+        if shared_color_generator is not None:
+            color = np.asarray(shared_color_generator.color(int(iid)),
+                               np.uint8)
+        else:
+            hue = (theta / (2 * np.pi)) % 1.0
+            color = (_hsv_to_rgb(np.asarray([hue]), np.asarray([1.0]),
+                                 np.asarray([1.0]))[0] * 255
+                     ).astype(np.uint8)
         out[mask] = color
-    return out
+    if not draw_arrows or not items:
+        return out
+
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(out)
+    draw = ImageDraw.Draw(img)
+    try:
+        from PIL import ImageFont
+
+        font = ImageFont.load_default(size=max(font_size // 3, 8))
+    except Exception:  # older Pillow: fixed-size bitmap font
+        font = None
+    for iid, theta in items:
+        ys, xs = np.nonzero(inst == iid)
+        if ys.size == 0:
+            continue
+        cy, cx = float(ys.mean()), float(xs.mean())
+        # arrow length scales with the instance footprint
+        length = max(np.sqrt(ys.size) * 0.6, 8.0)
+        dx = np.sin(theta) * length
+        dy = -np.cos(theta) * length
+        tip = (cx + dx, cy + dy)
+        draw.line([(cx, cy), tip], fill=(255, 255, 255), width=thickness)
+        # arrowhead: two short lines rotated +-150 deg from the shaft
+        for rot in (np.deg2rad(150), -np.deg2rad(150)):
+            hx = np.sin(theta + rot) * length * 0.35
+            hy = -np.cos(theta + rot) * length * 0.35
+            draw.line([tip, (tip[0] + hx, tip[1] + hy)],
+                      fill=(255, 255, 255), width=thickness)
+        deg = int(round(np.degrees(theta))) % 360
+        draw.text((cx + 2, cy + 2), f"{deg}°",
+                  fill=bg_color_font, font=font)
+    return np.asarray(img)
 
 
 def blend(rgb: np.ndarray, overlay: np.ndarray, alpha: float = 0.5
@@ -300,6 +355,34 @@ def visualize_predictions(
                     np.asarray(predictions["instance_orientation"][b]), fg
                 ),
             )
+        if (
+            "orientations_instance" in predictions
+            and "instance_segmentation" in predictions
+        ):
+            # per-instance overlay with arrows + degree text (reference
+            # *_orientations / *_orientations_white_bg outputs)
+            angles = np.asarray(predictions["orientations_instance"][b])
+            valid = predictions.get("orientations_panoptic_instance_valid")
+            inst_map = np.asarray(predictions["instance_segmentation"][b])
+            present = set(np.unique(inst_map)) - {0}
+            oris = {
+                k + 1: float(angles[k])
+                for k in range(angles.shape[0])
+                if (k + 1) in present
+                and (valid is None or bool(np.asarray(valid[b])[k]))
+            }
+            gen = _SHARED.get("instance")
+            for suffix, kw in (
+                ("orientations", dict(bg_color=0, bg_color_font="black")),
+                ("orientations_white_bg",
+                 dict(bg_color=255, bg_color_font="white")),
+            ):
+                _save_png(
+                    os.path.join(output_path, suffix, f"{ident}.png"),
+                    visualize_instance_orientations(
+                        inst_map, oris, shared_color_generator=gen, **kw
+                    ),
+                )
         if "scene_class_idx" in predictions:
             scene_idx = int(predictions["scene_class_idx"][b]) + 1
             labels = dataset_config.scene_label_list
@@ -355,6 +438,23 @@ def visualize_batches(
             _save_png(os.path.join(output_path, "gt_panoptic", f"{ident}.png"),
                       visualize_panoptic(np.asarray(batch["panoptic"][b]),
                                          dataset_config))
+        if "instance" in batch and "orientations" in batch:
+            oris = batch["orientations"][b] or {}
+            gen = _SHARED.get("instance")
+            for suffix, kw in (
+                ("gt_orientations",
+                 dict(bg_color=0, bg_color_font="black")),
+                ("gt_orientations_white_bg",
+                 dict(bg_color=255, bg_color_font="white")),
+            ):
+                _save_png(
+                    os.path.join(output_path, suffix, f"{ident}.png"),
+                    visualize_instance_orientations(
+                        np.asarray(batch["instance"][b]),
+                        {int(k): float(v) for k, v in oris.items()},
+                        shared_color_generator=gen, **kw,
+                    ),
+                )
         if "depth" in batch:
             _save_png(os.path.join(output_path, "gt_depth", f"{ident}.png"),
                       visualize_depth(np.asarray(batch["depth"][b])))

@@ -165,6 +165,56 @@ void resize_bilinear_f32(const float* src, int ih, int iw, int c, float* dst,
   }
 }
 
+// uint8 in / uint8 out bilinear resize (same sampling grid as the f32
+// kernel). One pass replaces the u8->f32 astype + f32 resize + np.round +
+// astype-u8 chain, which profiled as ~80% of a train sample on one core.
+// Rounding via nearbyintf = round-half-to-even, matching np.round.
+void resize_bilinear_u8(const uint8_t* src, int ih, int iw, int c,
+                        uint8_t* dst, int oh, int ow) {
+  std::vector<int> y0s(oh), y1s(oh), x0s(ow), x1s(ow);
+  std::vector<float> wys(oh), wxs(ow);
+  for (int i = 0; i < oh; ++i) {
+    double y = ((double)i + 0.5) * ih / oh - 0.5;
+    if (y < 0) y = 0;
+    if (y > ih - 1) y = ih - 1;
+    int y0 = (int)y;
+    y0s[i] = y0;
+    y1s[i] = y0 + 1 < ih ? y0 + 1 : ih - 1;
+    wys[i] = (float)(y - y0);
+  }
+  for (int j = 0; j < ow; ++j) {
+    double x = ((double)j + 0.5) * iw / ow - 0.5;
+    if (x < 0) x = 0;
+    if (x > iw - 1) x = iw - 1;
+    int x0 = (int)x;
+    x0s[j] = x0;
+    x1s[j] = x0 + 1 < iw ? x0 + 1 : iw - 1;
+    wxs[j] = (float)(x - x0);
+  }
+  for (int i = 0; i < oh; ++i) {
+    const uint8_t* r0 = src + (int64_t)y0s[i] * iw * c;
+    const uint8_t* r1 = src + (int64_t)y1s[i] * iw * c;
+    const float wy = wys[i];
+    uint8_t* out = dst + (int64_t)i * ow * c;
+    for (int j = 0; j < ow; ++j) {
+      const float wx = wxs[j];
+      const uint8_t* p00 = r0 + (int64_t)x0s[j] * c;
+      const uint8_t* p01 = r0 + (int64_t)x1s[j] * c;
+      const uint8_t* p10 = r1 + (int64_t)x0s[j] * c;
+      const uint8_t* p11 = r1 + (int64_t)x1s[j] * c;
+      for (int ch = 0; ch < c; ++ch) {
+        const float v = (float)p00[ch] * (1 - wy) * (1 - wx) +
+                        (float)p01[ch] * (1 - wy) * wx +
+                        (float)p10[ch] * wy * (1 - wx) +
+                        (float)p11[ch] * wy * wx;
+        float r = nearbyintf(v);
+        r = r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r);
+        out[(int64_t)j * c + ch] = (uint8_t)r;
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Normalization: rgb uint8 (h, w, 3) -> standardized f32 with ImageNet
 // stats; depth f32 -> standardized with optional raw-zero masking.

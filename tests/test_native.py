@@ -163,3 +163,25 @@ def test_native_hsv_jitter_parity():
         n_diff += int((diff > 0).sum())
         n_total += diff.size
     assert n_diff / n_total < 1e-4
+
+
+def test_native_resize_bilinear_u8_parity():
+    """u8-in/u8-out bilinear == f32 resize + np.round + clip, exactly."""
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    for ih, iw, oh, ow, c in ((48, 64, 67, 90, 3), (64, 48, 32, 24, 1),
+                              (53, 71, 101, 33, 2)):
+        src = rng.randint(0, 256, (ih, iw, c)).astype(np.uint8)
+        got = native.resize_bilinear_u8(src, oh, ow)
+        ref_f = native.resize_bilinear_f32(src.astype(np.float32), oh, ow)
+        ref = np.clip(np.round(ref_f), 0, 255).astype(np.uint8)
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-4
+    # 2-D squeeze path
+    src2 = rng.randint(0, 256, (40, 50)).astype(np.uint8)
+    out2 = native.resize_bilinear_u8(src2, 80, 100)
+    assert out2.shape == (80, 100)

@@ -190,3 +190,53 @@ def test_deterministic_rng_reproducible():
     ra, rb = pp(a), pp(b)
     np.testing.assert_array_equal(ra["rgb"], rb["rgb"])
     np.testing.assert_array_equal(ra["semantic"], rb["semantic"])
+
+
+def test_pad_to_multiple_fullres_bucketing():
+    """--validation-full-resolution pads to /32 buckets and metrics crop
+    back via _prepad_hw (VERDICT r1 missing #7)."""
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.preprocessing import get_preprocessor
+    from emsanet_tpu.preprocessing.collate import batch_collate
+    from emsanet_tpu.task_helper import _pred_at_gt_resolution
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(tasks=("semantic", "instance", "orientation",
+                                 "scene"),
+                          enable_panoptic=True,
+                          input_height=96, input_width=128),
+        data=DataConfig(dataset="synthetic", batch_size=2,
+                        validation_full_resolution=True),
+    ).validate()
+    pre = get_preprocessor(cfg, get_dataset_config(cfg.data), phase="test")
+    rng = np.random.RandomState(0)
+
+    def mk(h, w):
+        return {
+            "identifier": ("test", "x"),
+            "rgb": rng.randint(0, 255, (h, w, 3)).astype(np.uint8),
+            "depth": (rng.rand(h, w) * 5000).astype(np.float32),
+            "semantic": rng.randint(0, 41, (h, w)).astype(np.int32),
+            "instance": rng.randint(0, 5, (h, w)).astype(np.int32),
+            "orientations": {1: 0.5},
+            "scene": 3,
+            "_rng": np.random.default_rng(0),
+        }
+
+    s = pre(mk(530, 730))  # SUNRGB-D kv1-like resolution
+    assert s["rgb"].shape[:2] == (544, 736)
+    assert tuple(s["_prepad_hw"]) == (530, 730)
+    assert s["semantic_fullres"].shape == (530, 730)  # GT untouched
+    assert (np.asarray(s["semantic"])[530:, :] == 0).all()  # void pad
+
+    batch = batch_collate([pre(mk(530, 730)), pre(mk(530, 730))])
+    assert batch["_prepad_hw"].shape == (2, 2)
+    pred = np.zeros((2, 544, 736), np.int32)
+    pred_full, gt_full = _pred_at_gt_resolution(batch, pred, "semantic")
+    assert pred_full.shape == gt_full.shape == (2, 530, 730)
+
+    # already-aligned resolution: no padding, prepad still recorded
+    s2 = pre(mk(480, 640))
+    assert s2["rgb"].shape[:2] == (480, 640)
+    assert tuple(s2["_prepad_hw"]) == (480, 640)

@@ -85,3 +85,39 @@ def test_blend():
     b = np.full((2, 2, 3), 200, np.uint8)
     out = blend(a, b, alpha=0.5)
     assert (out == 100).all()
+
+
+def test_instance_orientation_overlay():
+    """Arrow/text overlay: colored masks on both bg variants, white arrow
+    pixels present, empty orientations -> plain background."""
+    from emsanet_tpu.visualization import (
+        InstanceColorGenerator,
+        visualize_instance_orientations,
+    )
+
+    inst = np.zeros((64, 80), np.int32)
+    inst[8:40, 10:50] = 1
+    inst[45:60, 55:75] = 2
+    oris = {1: 0.0, 2: np.pi / 2}
+    gen = InstanceColorGenerator()
+
+    black = visualize_instance_orientations(
+        inst, oris, shared_color_generator=gen, bg_color=0,
+        bg_color_font="black")
+    white = visualize_instance_orientations(
+        inst, oris, shared_color_generator=gen, bg_color=255,
+        bg_color_font="white")
+    assert black.shape == (64, 80, 3) and black.dtype == np.uint8
+    # background differs between the two variants
+    assert (black[0, 0] == 0).all() and (white[0, 0] == 255).all()
+    # instance-1 region mostly filled with its shared color
+    c1 = np.asarray(gen.color(1))
+    region = black[10:38, 12:48].reshape(-1, 3)
+    frac = (region == c1).all(-1).mean()
+    assert frac > 0.5
+    # arrows drawn in white somewhere inside instance 1's bbox
+    assert (black[8:40, 10:50] == 255).all(-1).any()
+
+    empty = visualize_instance_orientations(
+        inst, {}, shared_color_generator=gen, bg_color=0)
+    assert (empty == 0).all()

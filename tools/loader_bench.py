@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--dataset-path", default=None,
                     help="existing prepared dataset (default: synthetic "
                     "written to a temp dir)")
+    ap.add_argument("--no-pack", action="store_true",
+                    help="bench the PNG-decode path instead of packed")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -50,11 +52,14 @@ def main():
     tmp = None
     path = args.dataset_path
     if path is None:
+        from tools.pack_dataset import pack_split
         from tools.prepare_dataset import prepare_synthetic
 
         tmp = tempfile.TemporaryDirectory()
         path = tmp.name
         prepare_synthetic(path, args.n_samples, 1, args.height, args.width)
+        if not args.no_pack:
+            pack_split(path, "train")
 
     sample_keys = ("identifier", "rgb", "depth", "semantic", "instance",
                    "orientations", "scene")

@@ -34,10 +34,18 @@ def time_fn(name, fn, *args, runs=40):
     return t
 
 
+def _device_normal(key, shape, dtype=BF):
+    """Generate test data ON the device: a host randn at these shapes is
+    GBs of float64 on one CPU core + a tunnel transfer."""
+    return jax.jit(
+        lambda k: jax.random.normal(k, shape, jnp.float32).astype(dtype),
+        static_argnums=(),
+    )(jax.random.PRNGKey(key)).block_until_ready()
+
+
 def argmax_experiments(n):
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(n, 480, 640, 40), BF)
-    x_nchw = jnp.asarray(rng.randn(n, 40, 480, 640), BF)
+    x = _device_normal(0, (n, 480, 640, 40))
+    x_nchw = _device_normal(1, (n, 40, 480, 640))
 
     time_fn("elementwise x+1 NHWC C40 (pad probe)", lambda a: a + 1, x)
     time_fn("elementwise x+1 NCHW (pad probe)", lambda a: a + 1, x_nchw)
@@ -82,9 +90,8 @@ def model_ab(n):
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))
     is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
-    rng = np.random.RandomState(0)
-    rgb = jnp.asarray(rng.randn(n, 480, 640, 3), jnp.float32)
-    depth = jnp.asarray(rng.randn(n, 480, 640, 1), jnp.float32)
+    rgb = _device_normal(2, (n, 480, 640, 3), jnp.float32)
+    depth = _device_normal(3, (n, 480, 640, 1), jnp.float32)
     p, bs = variables["params"], variables.get("batch_stats")
 
     def fwd(p, bs, r, d):
