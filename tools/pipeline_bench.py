@@ -101,11 +101,21 @@ def model_ab(n):
     def fwd_post(p, bs, r, d):
         return postprocess(fwd(p, bs, r, d), is_thing, cfg.model)
 
-    t0 = time_fn(f"fused forward b{n} (raw outputs)", fwd, p, bs, rgb, depth)
+    def fwd_mat(p, bs, r, d):
+        # optimization_barrier forces the head outputs to materialize in
+        # HBM (the tree-sum probe otherwise lets XLA fuse the reduction
+        # into the model epilogue and skip writing ~0.9 GB of outputs)
+        return jax.lax.optimization_barrier(fwd(p, bs, r, d))
+
+    t0 = time_fn(f"fused forward b{n} (summed outputs)", fwd, p, bs, rgb,
+                 depth)
+    tm = time_fn(f"fused forward b{n} (materialized outputs)", fwd_mat, p,
+                 bs, rgb, depth)
     t1 = time_fn(f"fused forward b{n} + postprocess", fwd_post, p, bs, rgb,
                  depth)
-    print(f"  -> {n/t0:.1f} fps raw | {n/t1:.1f} fps e2e | "
-          f"postproc delta {1e3*(t1-t0):.1f} ms", flush=True)
+    print(f"  -> {n/t0:.1f} fps summed | {n/tm:.1f} fps materialized | "
+          f"{n/t1:.1f} fps e2e | materialize {1e3*(tm-t0):.1f} ms | "
+          f"postproc {1e3*(t1-tm):.1f} ms", flush=True)
 
 
 def main():

@@ -40,6 +40,21 @@ def time_fn(name, fn, *args, runs=40):
     return t
 
 
+
+def _dev(key, shape, dtype=jnp.float32, kind="normal", maxval=None):
+    """On-device test data (host randn at these shapes is GBs of f64)."""
+    k = jax.random.PRNGKey(key)
+    if kind == "normal":
+        f = lambda kk: jax.random.normal(kk, shape, jnp.float32).astype(dtype)
+    elif kind == "uniform":
+        f = lambda kk: jax.random.uniform(kk, shape, jnp.float32).astype(dtype)
+    elif kind == "randint":
+        f = lambda kk: jax.random.randint(kk, shape, 0, maxval, jnp.int32)
+    elif kind == "bool":
+        f = lambda kk: jax.random.uniform(kk, shape) > 0.3
+    return jax.jit(f)(k)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -48,12 +63,12 @@ def main():
     rng = np.random.RandomState(0)
     print(f"device={jax.devices()[0].device_kind} batch={n}", flush=True)
 
-    logits = jnp.asarray(rng.randn(n, h, w, 40), BF)
+    logits = _dev(0, (n, h, w, 40), BF)
     time_fn("semantic softmax+argmax+score (40ch)", postprocess_semantic,
             logits)
 
-    heat = jnp.asarray(rng.rand(n, h, w), jnp.float32)
-    fg = jnp.asarray(rng.rand(n, h, w) > 0.5)
+    heat = _dev(1, (n, h, w), kind="uniform")
+    fg = _dev(2, (n, h, w), kind="bool")
     time_fn("find_instance_centers (nms17+topk64)",
             lambda hm, m: find_instance_centers(hm, foreground_mask=m),
             heat, fg)
@@ -72,17 +87,17 @@ def main():
     time_fn("nms 17x17 square reduce_window", nms_sq, heat)
     time_fn("nms 17x17 separable (17x1 + 1x17)", nms_sep, heat)
 
-    centers_yx = jnp.asarray(rng.randint(0, 479, (n, 64, 2)), jnp.int32)
-    centers_valid = jnp.asarray(rng.rand(n, 64) > 0.3)
-    offset = jnp.asarray(rng.randn(n, h, w, 2), BF)
+    centers_yx = _dev(3, (n, 64, 2), kind="randint", maxval=479)
+    centers_valid = _dev(4, (n, 64), kind="bool")
+    offset = _dev(5, (n, h, w, 2), BF)
     time_fn("group_pixels_to_instances (Pallas)",
             group_pixels_to_instances, centers_yx, centers_valid, offset, fg)
 
-    sem_full = jnp.asarray(rng.randint(1, 41, (n, h, w)), jnp.int32)
-    inst = jnp.asarray(rng.randint(0, 65, (n, h, w)), jnp.int32)
-    sem_score = jnp.asarray(rng.rand(n, h, w), jnp.float32)
-    cscores = jnp.asarray(rng.rand(n, 64), jnp.float32)
-    cvalid = jnp.asarray(rng.rand(n, 64) > 0.3)
+    sem_full = 1 + _dev(6, (n, h, w), kind="randint", maxval=40)
+    inst = _dev(7, (n, h, w), kind="randint", maxval=65)
+    sem_score = _dev(8, (n, h, w), kind="uniform")
+    cscores = _dev(9, (n, 64), kind="uniform")
+    cvalid = _dev(10, (n, 64), kind="bool")
     is_thing = jnp.asarray(np.r_[False, rng.rand(40) > 0.4])
     time_fn(
         "panoptic_merge",
@@ -91,7 +106,7 @@ def main():
         sem_full, sem_score, inst, cscores, cvalid,
     )
 
-    ori = jnp.asarray(rng.randn(n, h, w, 2), BF)
+    ori = _dev(11, (n, h, w, 2), BF)
     time_fn("aggregate_instance_orientations",
             lambda o, i: aggregate_instance_orientations(o, i, 64), ori, inst)
 
@@ -105,11 +120,11 @@ def main():
     outputs = {
         "semantic": {"logits": logits},
         "instance": {
-            "center": jnp.asarray(rng.rand(n, h, w, 1), BF),
-            "offset": jnp.asarray(rng.randn(n, h, w, 2), BF),
+            "center": _dev(12, (n, h, w, 1), BF, kind="uniform"),
+            "offset": _dev(13, (n, h, w, 2), BF),
             "orientation": ori,
         },
-        "scene": {"logits": jnp.asarray(rng.randn(n, 9), BF)},
+        "scene": {"logits": _dev(14, (n, 9), BF)},
     }
     time_fn("FULL postprocess", lambda o: postprocess(o, is_thing, cfg),
             outputs)

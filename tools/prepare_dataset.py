@@ -704,6 +704,209 @@ def prepare_hypersim(raw_root, out_dir, splits=("train", "valid", "test"),
     print(f"done: {out_dir} ({n_written} frames)")
 
 
+def _parse_sens(path):
+    """Parse a ScanNet .sens RGB-D stream (documented public format:
+    header with intrinsics + per-frame jpeg/png color and zlib'ed uint16
+    depth). Yields (frame_idx, color_bytes, color_kind, depth_u16)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as fh:
+        def rd(fmt):
+            size = struct.calcsize(fmt)
+            return struct.unpack(fmt, fh.read(size))
+
+        (version,) = rd("<I")
+        if version != 4:
+            raise ValueError(f".sens version {version} != 4: {path}")
+        (strlen,) = rd("<Q")
+        fh.read(strlen)  # sensor name
+        fh.read(4 * 16 * 4)  # color/depth intrinsics + extrinsics (4x 4x4)
+        (color_comp,) = rd("<i")
+        (depth_comp,) = rd("<i")
+        cw, ch, dw, dh = rd("<4I")
+        (depth_shift,) = rd("<f")
+        (num_frames,) = rd("<Q")
+        color_kind = {0: "raw", 1: "png", 2: "jpeg"}.get(color_comp, "jpeg")
+        for idx in range(num_frames):
+            fh.read(16 * 4)  # camera_to_world
+            fh.read(8 + 8)  # timestamps
+            (color_size,) = rd("<Q")
+            (depth_size,) = rd("<Q")
+            color_bytes = fh.read(color_size)
+            depth_bytes = fh.read(depth_size)
+            if depth_comp == 1:  # zlib_ushort
+                depth_bytes = zlib.decompress(depth_bytes)
+            depth = np.frombuffer(depth_bytes, "<u2").reshape(dh, dw)
+            # depth_shift converts stored units to mm when it is not 1000
+            if depth_shift and depth_shift != 1000.0:
+                depth = np.clip(
+                    depth.astype(np.float64) * (1000.0 / depth_shift),
+                    0, 65535,
+                ).astype(np.uint16)
+            yield idx, color_bytes, color_kind, depth
+
+
+def _scannet_label_map(tsv_path):
+    """scannetv2-labels.combined.tsv: raw label id -> nyu40 id."""
+    import csv
+
+    mapping = {0: 0}
+    with open(tsv_path) as fh:
+        for row in csv.DictReader(fh, delimiter="\t"):
+            try:
+                mapping[int(row["id"])] = int(row["nyu40id"] or 0)
+            except (KeyError, ValueError):
+                continue
+    return mapping
+
+
+def prepare_scannet(raw_root, out_dir, splits=("train", "valid"),
+                    subsample=50, max_scenes=None):
+    """Convert the raw ScanNet v2 download into the prepared layout.
+
+    Reference: the L2 `nicr_sa_prepare_dataset scannet` CLI (unvendored;
+    SURVEY.md D6) — independent implementation of the documented raw
+    distribution:
+
+      <raw>/scannetv2-labels.combined.tsv       raw-id -> nyu40 mapping
+      <raw>/scannetv2_{train,val}.txt           official scene splits
+      <raw>/scans/<scene>/<scene>.sens          RGB-D stream (v4)
+      <raw>/scans/<scene>/<scene>_2d-label-filt.zip     label-filt/N.png
+      <raw>/scans/<scene>/<scene>_2d-instance-filt.zip  instance-filt/N.png
+      <raw>/scans/<scene>/<scene>.txt           sceneType = <name>
+
+    Every `subsample`-th frame is exported (ScanNet ~2.5M frames total;
+    the reference trains with --subsample 50/100, args.py:887-896). Color
+    + labels are resampled to the depth resolution (the 640x480 geometric
+    reference). Semantic is stored in the NYUv2-40 space; the 40->20
+    benchmark remap stays a load-time preprocessing step
+    (emsanet_tpu/datasets/scannet.py).
+    """
+    import io
+    import zipfile
+
+    from PIL import Image
+
+    tsv = os.path.join(raw_root, "scannetv2-labels.combined.tsv")
+    label_map_arr = None
+    if os.path.isfile(tsv):
+        m = _scannet_label_map(tsv)
+        label_map_arr = np.zeros(max(m) + 1, np.uint8)
+        for k, v in m.items():
+            label_map_arr[k] = v if 0 <= v <= 40 else 0
+
+    split_files = {"train": "scannetv2_train.txt",
+                   "valid": "scannetv2_val.txt",
+                   "test": "scannetv2_test.txt"}
+    scene_types = []
+    n_written = 0
+    for split in splits:
+        lst = os.path.join(raw_root, split_files.get(split, ""))
+        if not os.path.isfile(lst):
+            print(f"[scannet] no split list {lst}; skipping {split}")
+            continue
+        with open(lst) as fh:
+            scenes = [ln.strip() for ln in fh if ln.strip()]
+        if max_scenes:
+            scenes = scenes[:max_scenes]
+        scans_dir = "scans_test" if split == "test" else "scans"
+        for scene in scenes:
+            sdir = os.path.join(raw_root, scans_dir, scene)
+            sens = os.path.join(sdir, scene + ".sens")
+            if not os.path.isfile(sens):
+                continue
+
+            def zopen(suffix, inner):
+                z = os.path.join(sdir, scene + suffix)
+                if os.path.isfile(z):
+                    zf = zipfile.ZipFile(z)
+                    names = {}
+                    for n in zf.namelist():
+                        base = os.path.basename(n)
+                        if base.endswith(".png") and inner in n:
+                            names[os.path.splitext(base)[0]] = n
+                    return zf, names
+                return None, {}
+
+            zl, lnames = zopen("_2d-label-filt.zip", "label-filt")
+            zi, inames = zopen("_2d-instance-filt.zip", "instance-filt")
+
+            stype = None
+            meta_txt = os.path.join(sdir, scene + ".txt")
+            if os.path.isfile(meta_txt):
+                with open(meta_txt) as fh:
+                    for ln in fh:
+                        if ln.startswith("sceneType"):
+                            stype = ln.split("=", 1)[1].strip().lower()
+            if stype and stype not in scene_types:
+                scene_types.append(stype)
+
+            for idx, color_bytes, kind, depth in _parse_sens(sens):
+                if idx % subsample:
+                    continue
+                sid = f"{scene}_{idx:06d}"
+                dh, dw = depth.shape
+                rgb = np.asarray(
+                    Image.open(io.BytesIO(color_bytes)).convert("RGB")
+                )
+                if rgb.shape[:2] != (dh, dw):
+                    rgb = np.asarray(
+                        Image.fromarray(rgb).resize((dw, dh),
+                                                    Image.BILINEAR)
+                    )
+                _save_png(os.path.join(out_dir, split, "rgb",
+                                       sid + ".png"), rgb)
+                _save_png(os.path.join(out_dir, split, "depth",
+                                       sid + ".png"), depth)
+
+                def read_mask(zf, names):
+                    n = names.get(str(idx))
+                    if zf is None or n is None:
+                        return None
+                    arr = np.asarray(Image.open(io.BytesIO(zf.read(n))))
+                    if arr.shape != (dh, dw):
+                        arr = np.asarray(
+                            Image.fromarray(arr).resize(
+                                (dw, dh), Image.NEAREST
+                            )
+                        )
+                    return arr
+
+                lab = read_mask(zl, lnames)
+                if lab is not None and label_map_arr is not None:
+                    sem = label_map_arr[
+                        np.clip(lab, 0, len(label_map_arr) - 1)
+                    ]
+                    _save_png(os.path.join(out_dir, split, "semantic_40",
+                                           sid + ".png"), sem)
+                inst = read_mask(zi, inames)
+                if inst is not None:
+                    _save_png(
+                        os.path.join(out_dir, split, "instance",
+                                     sid + ".png"),
+                        inst.astype(np.uint16),
+                    )
+                if stype:
+                    sc = os.path.join(out_dir, split, "scene_class",
+                                      sid + ".txt")
+                    os.makedirs(os.path.dirname(sc), exist_ok=True)
+                    with open(sc, "w") as fh:
+                        fh.write(stype)
+                n_written += 1
+                if n_written % 500 == 0:
+                    print(f"  {n_written} frames written...", flush=True)
+            if zl:
+                zl.close()
+            if zi:
+                zi.close()
+
+    from emsanet_tpu.datasets.metadata import _NYUV2_40
+
+    write_meta(out_dir, _NYUV2_40, sorted(scene_types))
+    print(f"done: {out_dir} ({n_written} frames)")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -789,6 +992,15 @@ def main(argv=None):
                        help="write every Nth frame per split")
     p_hyp.add_argument("--max-scenes", type=int, default=None)
 
+    p_scn = sub.add_parser("scannet")
+    p_scn.add_argument("--raw", required=True,
+                       help="ScanNet v2 download root (scans/, "
+                       "scannetv2_train.txt, scannetv2-labels.combined.tsv)")
+    p_scn.add_argument("--out", required=True)
+    p_scn.add_argument("--subsample", type=int, default=50,
+                       help="export every Nth frame (args.py:887-896)")
+    p_scn.add_argument("--max-scenes", type=int, default=None)
+
     p_syn = sub.add_parser("synthetic")
     p_syn.add_argument("--out", required=True)
     p_syn.add_argument("--n-train", type=int, default=16)
@@ -805,6 +1017,9 @@ def main(argv=None):
     elif ns.dataset == "hypersim":
         prepare_hypersim(ns.raw, ns.out, subsample=ns.subsample,
                          max_scenes=ns.max_scenes)
+    elif ns.dataset == "scannet":
+        prepare_scannet(ns.raw, ns.out, subsample=ns.subsample,
+                        max_scenes=ns.max_scenes)
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
