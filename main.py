@@ -318,7 +318,7 @@ def main(argv=None):
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, lr)
             )
-            loss_sums, loss_counts = {}, 0
+            loss_sums, loss_counts = None, 0
             try:
                 from tqdm import tqdm
 
@@ -337,8 +337,13 @@ def main(argv=None):
                 state, metrics = train_step(
                     state, put_batch(device_batch), dropout_rng
                 )
-                for k, v in metrics.items():
-                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                # accumulate ON device: float(v) here would force a
+                # device->host sync every step (~100 ms readback on the
+                # tunneled backend) and bubble the pipeline
+                loss_sums = (
+                    metrics if loss_sums is None
+                    else jax.tree.map(jnp.add, loss_sums, metrics)
+                )
                 loss_counts += 1
 
             logs = {
@@ -347,8 +352,8 @@ def main(argv=None):
                 "time_train_s": round(time.time() - t0, 2),
             }
             logs.update({
-                f"train_{k}": v / max(loss_counts, 1)
-                for k, v in loss_sums.items()
+                f"train_{k}": float(v) / max(loss_counts, 1)
+                for k, v in (loss_sums or {}).items()
             })
 
             do_valid = (
