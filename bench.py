@@ -116,10 +116,13 @@ def main():
         if args.with_postprocessing:
             outputs = postprocess(outputs, is_thing, cfg.model)
         # baseline protocol default: raw network outputs, no postprocessing.
-        # full-sum probe: consumes every element so XLA cannot dead-code-
-        # eliminate any head work (a [0]-element probe measured ~27% fast
-        # at batch 32); the reduction cost itself is included -> the
-        # reported fps is a conservative lower bound.
+        # honest output consumption (round-2 hardening): a bare sum probe
+        # is NOT enough — XLA pushes the reduction through the linear
+        # full-res upsamplers and elides computing the heads at full
+        # resolution (53.6 vs 71.5 ms at b32, tools/pipeline_bench.py).
+        # optimization_barrier forces every output to materialize; the
+        # scalar probe then keeps the tunnel readback at 4 bytes.
+        outputs = jax.lax.optimization_barrier(outputs)
         return sum(
             leaf.astype(jnp.float32).sum() for leaf in jax.tree.leaves(outputs)
         )

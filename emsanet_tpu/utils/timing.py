@@ -21,16 +21,23 @@ from typing import Callable, Tuple
 
 
 def scalar_probe(tree) -> "jax.Array":
-    """Reduce an output pytree to one f32 scalar touching every leaf."""
+    """Reduce an output pytree to one f32 scalar, honestly.
+
+    `optimization_barrier` first: without it XLA dead-code-eliminates
+    everything a [0]-element probe does not touch, and even a full-sum
+    probe gets algebraically pushed through linear upsamplers, skipping
+    real full-resolution head work (53.6 vs 71.5 ms at b32,
+    tools/pipeline_bench.py). After the barrier every leaf must
+    materialize; the [0] reads then cost nothing extra.
+    """
     import jax
     import jax.numpy as jnp
 
-    leaves = [
-        leaf.astype(jnp.float32).reshape(-1)[0]
-        for leaf in jax.tree.leaves(tree)
-        if hasattr(leaf, "astype")
+    arrays = [
+        leaf for leaf in jax.tree.leaves(tree) if hasattr(leaf, "astype")
     ]
-    return sum(leaves)
+    arrays = jax.lax.optimization_barrier(arrays)
+    return sum(leaf.astype(jnp.float32).reshape(-1)[0] for leaf in arrays)
 
 
 def queue_difference_timing(

@@ -28,7 +28,8 @@ BF = jnp.bfloat16
 def time_fn(name, fn, *args, runs=40):
     jfn = jax.jit(
         lambda *a: jax.tree.map(
-            lambda t: t.astype(jnp.float32).sum(), fn(*a)
+            lambda t: t.astype(jnp.float32).sum(),
+            jax.lax.optimization_barrier(fn(*a)),
         )
     )
     probe = jax.jit(lambda *a: sum(jax.tree.leaves(jfn(*a))))
