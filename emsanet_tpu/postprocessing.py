@@ -49,12 +49,18 @@ def postprocess_semantic(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """
     # max softmax prob == exp(max - logsumexp): skips materializing the
     # (N, H, W, C) prob tensor (6.69 -> 2.32 ms at b32 480x640 C40 on
-    # v5e, tools/pipeline_bench.py)
-    x = logits.astype(jnp.float32)
-    idx = jnp.argmax(x, axis=-1).astype(jnp.int32)
-    score = jnp.exp(
-        jnp.max(x, axis=-1) - jax.scipy.special.logsumexp(x, axis=-1)
+    # v5e, tools/pipeline_bench.py).
+    # Reductions run on the NATIVE dtype: an upfront astype(f32) gets
+    # fused INTO the producing polyphase conv by XLA, and the depth-to-
+    # space transpose then copies the (N, H, W, C) head at f32 width —
+    # 2x 1.57 GB of copies at b32 in the compiled e2e HLO. Casting per
+    # element inside the reduction keeps the materialized head bf16.
+    idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    mx = jnp.max(logits, axis=-1)
+    sumexp = jnp.sum(
+        jnp.exp((logits - mx[..., None]).astype(jnp.float32)), axis=-1
     )
+    score = 1.0 / sumexp  # exp(mx - lse) with lse = mx + log(sumexp)
     return {"segmentation_idx": idx, "score": score}
 
 

@@ -19,10 +19,18 @@ from emsanet_tpu.utils.timing import queue_difference_timing
 BF = jnp.bfloat16
 
 
-def time_fn(name, fn, *args, runs=40):
+def time_fn(name, fn, *args, runs=40, barrier=False):
+    """barrier=True forces all outputs to materialize (honest timing);
+    False keeps the raw-sum probe (elision-prone; kept for A/B)."""
+    def consume(*a):
+        out = fn(*a)
+        if barrier:
+            out = jax.lax.optimization_barrier(out)
+        return out
+
     jfn = jax.jit(
         lambda *a: jax.tree.map(
-            lambda t: t.astype(jnp.float32).sum(), fn(*a)
+            lambda t: t.astype(jnp.float32).sum(), consume(*a)
         )
     )
     probe = jax.jit(lambda *a: sum(jax.tree.leaves(jfn(*a))))
@@ -107,12 +115,22 @@ def model_ab(n):
         # into the model epilogue and skip writing ~0.9 GB of outputs)
         return jax.lax.optimization_barrier(fwd(p, bs, r, d))
 
+    def fwd_post_split(p, bs, r, d):
+        # barrier BETWEEN model and postprocess: forces the clean
+        # phase split so postprocess can't degrade model-side layouts
+        return postprocess(
+            jax.lax.optimization_barrier(fwd(p, bs, r, d)),
+            is_thing, cfg.model,
+        )
+
     t0 = time_fn(f"fused forward b{n} (summed outputs)", fwd, p, bs, rgb,
                  depth)
+    ts = time_fn(f"fwd b{n} | barrier | postprocess (split phases)",
+                 fwd_post_split, p, bs, rgb, depth, barrier=True)
     tm = time_fn(f"fused forward b{n} (materialized outputs)", fwd_mat, p,
                  bs, rgb, depth)
-    t1 = time_fn(f"fused forward b{n} + postprocess", fwd_post, p, bs, rgb,
-                 depth)
+    t1 = time_fn(f"fused forward b{n} + postprocess (barriered)", fwd_post,
+                 p, bs, rgb, depth, barrier=True)
     print(f"  -> {n/t0:.1f} fps summed | {n/tm:.1f} fps materialized | "
           f"{n/t1:.1f} fps e2e | materialize {1e3*(tm-t0):.1f} ms | "
           f"postproc {1e3*(t1-tm):.1f} ms", flush=True)
