@@ -1,0 +1,107 @@
+"""Honest single-chip train-step throughput (img/s).
+
+Chains state through N jitted steps and reads back only the final loss:
+the parameter update cannot be dead-code-eliminated because step k+1
+consumes step k's state, and the queue-difference between two chain
+lengths cancels dispatch+readback overhead (CLAUDE.md timing rules).
+
+One process, one TPU job. Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/train_bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--runs", type=int, default=30)
+    args = ap.parse_args()
+
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet
+    from emsanet_tpu.training.step import (
+        create_train_state,
+        extract_device_batch,
+        make_train_step,
+    )
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(
+            tasks=("semantic", "instance", "orientation", "scene"),
+            enable_panoptic=True,
+            input_height=args.height, input_width=args.width,
+            rgb_encoder_backbone="resnet34",
+            depth_encoder_backbone="resnet34",
+            compute_dtype=args.dtype,
+        ),
+        data=DataConfig(dataset="synthetic", batch_size=args.batch),
+    ).validate()
+    ds_config = get_dataset_config(cfg.data)
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    print(f"device={jax.devices()[0].device_kind} b{args.batch} "
+          f"{args.height}x{args.width} {args.dtype}", flush=True)
+
+    # synthetic on-host batch through the real preprocessing-target
+    # contract (multiscale supervision targets included)
+    from emsanet_tpu.data import get_datahelper
+    from emsanet_tpu.preprocessing import get_preprocessor
+
+    helper = get_datahelper(cfg)
+    helper.set_train_preprocessor(
+        get_preprocessor(cfg, ds_config, phase="train")
+    )
+    batch = next(iter(helper.train_loader.batches(0)))
+    device_batch = extract_device_batch(batch)
+    device_batch = jax.device_put(device_batch)
+
+    from emsanet_tpu.models import init_model
+    from emsanet_tpu.training.optim import get_optimizer
+
+    variables = init_model(model, jax.random.PRNGKey(0), train=True)
+    tx = get_optimizer(cfg.train)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, cfg, None), donate_argnums=0)
+    rng = jax.random.PRNGKey(1)
+
+    def chain(state, n):
+        loss = None
+        for i in range(n):
+            state, metrics = step(
+                state, device_batch, jax.random.fold_in(rng, i)
+            )
+            loss = metrics["total_loss"]
+        return state, loss
+
+    # warmup/compile
+    state, loss = chain(state, 2)
+    print(f"warm total_loss={float(loss):.4f}", flush=True)
+
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        state, loss = chain(state, n)
+        float(loss)
+        return time.perf_counter() - t0
+
+    n_short = max(args.runs // 5, 2)
+    pairs = [(timed(n_short), timed(args.runs)) for _ in range(3)]
+    per = min((tl - ts) / (args.runs - n_short) for ts, tl in pairs)
+    print(f"train step: {per*1e3:.1f} ms/step = "
+          f"{args.batch/per:.1f} img/s  (chained-state, honest)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
