@@ -236,12 +236,17 @@ def panoptic_merge(
     n_classes: int,
     label_divisor: int = LABEL_DIVISOR,
     void_label: int = VOID_LABEL,
+    orientation_vectors: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Panoptic-DeepLab merge, fully on-device (SURVEY.md M6/M13).
 
     semantic_idx: (N, H, W) int32 in the *full* label space (0 = void).
     instance_seg: (N, H, W) int32 in [0, K] (0 = unassigned).
     is_thing: (C_full,) bool lookup (void False).
+    orientation_vectors: optional (N, H, W, 2) biternion field; when
+    given, the per-instance circular means ride the SAME segment pass as
+    the vote histogram (one full-image kernel sweep instead of two) and
+    come back as 'instance_orientations' (N, K) angles in [0, 2*pi).
 
     Per instance id, the semantic class is decided by majority vote over
     the instance's pixels (one-hot segment sums -> (K+1, C) histogram ->
@@ -268,20 +273,33 @@ def panoptic_merge(
     # (instance, class) vote histogram: Pallas segment-reduce kernel on
     # TPU (masks in-register, MXU dots); factored one-hot matmuls as the
     # jnp fallback/oracle. Votes are 0/1 -> exact.
+    flat_or = (
+        orientation_vectors.reshape(n, h * w, 2).astype(jnp.float32)
+        if orientation_vectors is not None else None
+    )
+    ori_sums = None
     if jax.default_backend() == "tpu":
         from emsanet_tpu.ops.segment_pallas import segment_hist_and_sums
 
-        hist, _ = segment_hist_and_sums(
+        hist, sums = segment_hist_and_sums(
             flat_inst, flat_sem, vote_weight,
-            jnp.zeros((*flat_inst.shape, 1), jnp.float32),
+            flat_or if flat_or is not None
+            else jnp.zeros((*flat_inst.shape, 1), jnp.float32),
             num_segments=k + 1, num_classes=n_classes,
         )
+        if flat_or is not None:
+            ori_sums = sums
     else:
-        from emsanet_tpu.ops.segment_ops import segment_histogram_factored
+        from emsanet_tpu.ops.segment_ops import (
+            segment_histogram_factored,
+            segment_sum_vectors,
+        )
 
         hist = segment_histogram_factored(
             flat_inst, flat_sem, vote_weight, k + 1, n_classes
         )
+        if flat_or is not None:
+            ori_sums = segment_sum_vectors(flat_inst, flat_or, k + 1)
     # restrict to thing classes; instance 0 is "no instance"
     hist = jnp.where(is_thing[None, None, :], hist, 0.0)
     inst_semantic = jnp.argmax(hist, axis=-1).astype(jnp.int32)  # (N, K+1)
@@ -336,7 +354,12 @@ def panoptic_merge(
     )
 
     meta_valid = inst_has_votes[:, 1:] & centers_valid
+    out_extra = {}
+    if ori_sums is not None:
+        angles = jnp.arctan2(ori_sums[:, 1:, 0], ori_sums[:, 1:, 1])
+        out_extra["instance_orientations"] = jnp.mod(angles, 2 * jnp.pi)
     return {
+        **out_extra,
         "panoptic": panoptic,
         "panoptic_score": panoptic_score.astype(jnp.float32),
         "pixel_instance_semantic": pixel_inst_sem,
@@ -494,6 +517,8 @@ def postprocess(
                 inst["centers_valid"],
                 is_thing,
                 n_classes=n_classes_full,
+                # orientation circular means ride the same segment pass
+                orientation_vectors=outputs["instance"].get("orientation"),
             )
             results["panoptic_segmentation_deeplab"] = pan["panoptic"]
             results["panoptic_segmentation_deeplab_panoptic_score"] = pan[
@@ -511,12 +536,21 @@ def postprocess(
             results["panoptic_instance_meta_valid"] = pan["instance_meta_valid"]
 
         if "orientation" in outputs.get("instance", {}):
-            ors = aggregate_instance_orientations(
-                outputs["instance"]["orientation"],
-                inst["segmentation"],
-                top_k=cfg.instance_center_heatmap_top_k,
-            )
-            results["orientations_instance"] = ors["instance_orientations"]
+            if "panoptic_segmentation_deeplab" in results and (
+                "instance_orientations" in pan
+            ):
+                results["orientations_instance"] = pan[
+                    "instance_orientations"
+                ]
+            else:
+                ors = aggregate_instance_orientations(
+                    outputs["instance"]["orientation"],
+                    inst["segmentation"],
+                    top_k=cfg.instance_center_heatmap_top_k,
+                )
+                results["orientations_instance"] = ors[
+                    "instance_orientations"
+                ]
             results["instance_orientation"] = outputs["instance"]["orientation"]
             # reference: orientations only for classes flagged
             # use_orientations (SURVEY.md M6 'semantic_class_has_orientation')
