@@ -39,14 +39,34 @@ def cross_entropy_semantic(
     valid = target > 0
     tgt = jnp.clip(target - 1, 0, n_classes - 1)
 
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # compare-select instead of take_along_axis/table[tgt]: per-pixel
+    # gathers (and their scatter backward) are pathological on this TPU
+    # (CLAUDE.md: 10M-index gather = 76 ms); the one-hot compare fuses
+    # into the reductions and the VJP becomes softmax-minus-onehot with
+    # no scatter.
+    # reductions consume the NATIVE logits dtype: an upfront astype(f32)
+    # fuses into the producing head conv and widens the depth-to-space
+    # transpose copies to f32 (same pathology fixed in
+    # postprocess_semantic); per-element f32 casts inside the reductions
+    # keep the materialized head bf16
+    m = jnp.max(logits, axis=-1)
+    d = (logits - m[..., None]).astype(jnp.float32)
+    logz = m.astype(jnp.float32) + jnp.log(jnp.sum(jnp.exp(d), axis=-1))
+    onehot = (
+        jnp.arange(n_classes, dtype=tgt.dtype) == tgt[..., None]
+    )  # (..., C) pred
+    tgt_logit = jnp.sum(
+        jnp.where(onehot, logits, 0).astype(jnp.float32), axis=-1
+    )
+    nll = logz - tgt_logit  # == -log_softmax(logits)[tgt]
     if label_smoothing > 0.0:
-        smooth = -jnp.mean(logp, axis=-1)
+        # == -mean(log_softmax)
+        smooth = logz - jnp.mean(logits.astype(jnp.float32), axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
 
     if class_weights is not None:
-        w = class_weights.astype(jnp.float32)[tgt]
+        cw = class_weights.astype(jnp.float32)
+        w = jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)

@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rgbd-encoder-backbone-block", default="nonbottleneck1d",
                    choices=KNOWN_BLOCKS)
     g.add_argument("--no-pretrained-backbone", action="store_true")
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder stages + decoder modules "
+                   "in the backward pass (trades ~1.3x FLOPs for "
+                   "activation HBM traffic; the b8 train step is "
+                   "HBM-roofline-bound at ~119 GB/step without it)")
     g.add_argument("--rgb-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--depth-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--context-module", default="ppm",

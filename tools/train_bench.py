@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--runs", type=int, default=30)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
@@ -45,6 +46,7 @@ def main():
             rgb_encoder_backbone="resnet34",
             depth_encoder_backbone="resnet34",
             compute_dtype=args.dtype,
+            remat=args.remat,
         ),
         data=DataConfig(dataset="synthetic", batch_size=args.batch),
     ).validate()
