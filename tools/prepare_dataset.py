@@ -907,6 +907,118 @@ def prepare_scannet(raw_root, out_dir, splits=("train", "valid"),
     print(f"done: {out_dir} ({n_written} frames)")
 
 
+# Cityscapes labelId -> trainId (standard 19-class benchmark subset);
+# stored as trainId+1 with 0 = void, matching datasets/metadata.py order
+_CITYSCAPES_LABEL_TO_TRAIN = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8,
+    22: 9, 23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16,
+    32: 17, 33: 18,
+}
+# stereo rig constants for disparity -> depth (baseline m * focal px)
+_CITYSCAPES_BF = 0.209313 * 2262.52
+
+
+def prepare_cityscapes(raw_root, out_dir, splits=("train", "valid"),
+                       max_frames=None, depth_scale=100.0):
+    """Convert the raw Cityscapes download into the prepared layout.
+
+    Reference: the L2 `nicr_sa_prepare_dataset cityscapes` CLI
+    (unvendored; SURVEY.md D2/D6) — independent implementation of the
+    documented raw distribution:
+
+      <raw>/leftImg8bit/{train,val,test}/<city>/<id>_leftImg8bit.png
+      <raw>/gtFine/{train,val}/<city>/<id>_gtFine_labelIds.png
+      <raw>/gtFine/{train,val}/<city>/<id>_gtFine_instanceIds.png
+      <raw>/disparity/{train,val}/<city>/<id>_disparity.png
+
+    Semantic: labelIds -> the 19 train classes (+1, 0 = void). Instance:
+    instanceIds >= 1000 (thing pixels) -> consecutive per-frame ids.
+    Depth: disparity p -> d = (p - 1) / 256 px -> depth = B*f/d meters,
+    stored as uint16 centimetres (`depth_scale`=100/m); real stats land
+    in meta.json and override the built-ins at load time.
+    """
+    from PIL import Image
+
+    split_map = {"train": "train", "valid": "val", "test": "test"}
+    map_arr = np.zeros(64, np.uint8)
+    for k, v in _CITYSCAPES_LABEL_TO_TRAIN.items():
+        map_arr[k] = v + 1
+
+    n_written = 0
+    for split in splits:
+        raw_split = split_map.get(split, split)
+        img_root = os.path.join(raw_root, "leftImg8bit", raw_split)
+        if not os.path.isdir(img_root):
+            print(f"[cityscapes] no {img_root}; skipping {split}")
+            continue
+        for city in sorted(os.listdir(img_root)):
+            cdir = os.path.join(img_root, city)
+            if not os.path.isdir(cdir):
+                continue
+            for f in sorted(os.listdir(cdir)):
+                if not f.endswith("_leftImg8bit.png"):
+                    continue
+                if max_frames and n_written >= max_frames:
+                    break
+                sid = f[: -len("_leftImg8bit.png")]
+                rgb = np.asarray(
+                    Image.open(os.path.join(cdir, f)).convert("RGB")
+                )
+                _save_png(os.path.join(out_dir, split, "rgb",
+                                       sid + ".png"), rgb)
+
+                gt_dir = os.path.join(raw_root, "gtFine", raw_split, city)
+                lab_p = os.path.join(gt_dir, sid + "_gtFine_labelIds.png")
+                if os.path.isfile(lab_p):
+                    lab = np.asarray(Image.open(lab_p))
+                    sem = map_arr[np.clip(lab, 0, 63)]
+                    _save_png(os.path.join(out_dir, split, "semantic_19",
+                                           sid + ".png"), sem)
+                ins_p = os.path.join(gt_dir,
+                                     sid + "_gtFine_instanceIds.png")
+                if os.path.isfile(ins_p):
+                    raw_inst = np.asarray(Image.open(ins_p)).astype(
+                        np.int32
+                    )
+                    inst_pix = np.where(raw_inst >= 1000, raw_inst, 0)
+                    uniq = np.unique(inst_pix)
+                    uniq = uniq[uniq > 0]
+                    out = np.zeros_like(inst_pix)
+                    for new_id, old in enumerate(uniq, start=1):
+                        out[inst_pix == old] = new_id
+                    _save_png(
+                        os.path.join(out_dir, split, "instance",
+                                     sid + ".png"),
+                        out.astype(np.uint16),
+                    )
+                disp_p = os.path.join(raw_root, "disparity", raw_split,
+                                      city, sid + "_disparity.png")
+                if os.path.isfile(disp_p):
+                    p = np.asarray(Image.open(disp_p)).astype(np.float32)
+                    disp = np.where(p > 0, (p - 1.0) / 256.0, 0.0)
+                    depth_m = np.where(disp > 0,
+                                       _CITYSCAPES_BF / np.maximum(disp,
+                                                                   1e-6),
+                                       0.0)
+                    depth = np.clip(depth_m * depth_scale, 0,
+                                    65535).astype(np.uint16)
+                    _save_png(os.path.join(out_dir, split, "depth",
+                                           sid + ".png"), depth)
+                n_written += 1
+                if n_written % 200 == 0:
+                    print(f"  {n_written} frames written...", flush=True)
+
+    from emsanet_tpu.datasets.metadata import get_metadata_config
+
+    cs = get_metadata_config("cityscapes")
+    entries = tuple(
+        (lbl.class_name, lbl.is_thing, lbl.use_orientations)
+        for lbl in cs.semantic_label_list[1:]
+    )
+    write_meta(out_dir, entries, cs.scene_label_list.class_names[1:])
+    print(f"done: {out_dir} ({n_written} frames)")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -1001,6 +1113,13 @@ def main(argv=None):
                        help="export every Nth frame (args.py:887-896)")
     p_scn.add_argument("--max-scenes", type=int, default=None)
 
+    p_cs = sub.add_parser("cityscapes")
+    p_cs.add_argument("--raw", required=True,
+                      help="Cityscapes root (leftImg8bit/, gtFine/, "
+                      "disparity/)")
+    p_cs.add_argument("--out", required=True)
+    p_cs.add_argument("--max-frames", type=int, default=None)
+
     p_syn = sub.add_parser("synthetic")
     p_syn.add_argument("--out", required=True)
     p_syn.add_argument("--n-train", type=int, default=16)
@@ -1020,6 +1139,8 @@ def main(argv=None):
     elif ns.dataset == "scannet":
         prepare_scannet(ns.raw, ns.out, subsample=ns.subsample,
                         max_scenes=ns.max_scenes)
+    elif ns.dataset == "cityscapes":
+        prepare_cityscapes(ns.raw, ns.out, max_frames=ns.max_frames)
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
