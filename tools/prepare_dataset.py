@@ -1019,6 +1019,107 @@ def prepare_cityscapes(raw_root, out_dir, splits=("train", "valid"),
     print(f"done: {out_dir} ({n_written} frames)")
 
 
+def prepare_coco(raw_root, out_dir, splits=("train", "valid"),
+                 max_frames=None):
+    """Convert COCO panoptic annotations into the prepared layout.
+
+    Reference: the L2 `nicr_sa_prepare_dataset coco` CLI (unvendored;
+    SURVEY.md D2). Works directly on the documented panoptic release (no
+    pycocotools needed):
+
+      <raw>/{train,val}2017/<img>.jpg
+      <raw>/annotations/panoptic_{train,val}2017.json
+      <raw>/annotations/panoptic_{train,val}2017/<img>.png
+
+    Segment PNGs encode ids as R + 256*G + 65536*B. The sparse COCO
+    category ids map to a contiguous 1..133 space (order = categories
+    sorted by id); real names + isthing flags land in meta.json, which
+    overrides the built-in placeholder tables at load time. Thing
+    segments (not iscrowd) become consecutive per-image instance ids;
+    COCO has no depth (RGB-only pretraining in the reference).
+    """
+    import shutil
+
+    from PIL import Image
+
+    split_map = {"train": "train2017", "valid": "val2017",
+                 "test": "test2017"}
+    cat_entries = None
+    cat_to_class = {}
+    n_written = 0
+    for split in splits:
+        raw_split = split_map.get(split, split)
+        ann_json = os.path.join(raw_root, "annotations",
+                                f"panoptic_{raw_split}.json")
+        seg_dir = os.path.join(raw_root, "annotations",
+                               f"panoptic_{raw_split}")
+        img_dir = os.path.join(raw_root, raw_split)
+        if not os.path.isfile(ann_json):
+            print(f"[coco] no {ann_json}; skipping {split}")
+            continue
+        with open(ann_json) as fh:
+            ann = json.load(fh)
+        if cat_entries is None:
+            cats = sorted(ann["categories"], key=lambda c: c["id"])
+            cat_to_class = {c["id"]: i + 1 for i, c in enumerate(cats)}
+            cat_isthing = {
+                c["id"]: bool(c.get("isthing", 1)) for c in cats
+            }
+            cat_entries = tuple(
+                (c["name"], bool(c.get("isthing", 1)), False)
+                for c in cats
+            )
+        images_by_id = {im["id"]: im for im in ann.get("images", [])}
+        for a in ann["annotations"]:
+            if max_frames and n_written >= max_frames:
+                break
+            im = images_by_id.get(a["image_id"], {})
+            img_name = im.get("file_name",
+                              a["file_name"].replace(".png", ".jpg"))
+            sid = os.path.splitext(img_name)[0]
+            src_img = os.path.join(img_dir, img_name)
+            seg_png = os.path.join(seg_dir, a["file_name"])
+            if not (os.path.isfile(src_img) and os.path.isfile(seg_png)):
+                continue
+            dst = os.path.join(out_dir, split, "rgb", img_name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src_img, dst)
+
+            seg_rgb = np.asarray(Image.open(seg_png).convert("RGB"))
+            seg_id = (
+                seg_rgb[..., 0].astype(np.int32)
+                + seg_rgb[..., 1].astype(np.int32) * 256
+                + seg_rgb[..., 2].astype(np.int32) * 65536
+            )
+            semantic = np.zeros(seg_id.shape, np.uint8)
+            instance = np.zeros(seg_id.shape, np.uint16)
+            next_inst = 1
+            for s in a["segments_info"]:
+                mask = seg_id == s["id"]
+                cls = cat_to_class.get(s["category_id"], 0)
+                semantic[mask] = cls
+                if cat_isthing.get(s["category_id"], True) and not s.get(
+                    "iscrowd", 0
+                ):
+                    instance[mask] = next_inst
+                    next_inst += 1
+            _save_png(
+                os.path.join(out_dir, split,
+                             f"semantic_{len(cat_entries)}",
+                             sid + ".png"),
+                semantic,
+            )
+            _save_png(os.path.join(out_dir, split, "instance",
+                                   sid + ".png"), instance)
+            n_written += 1
+            if n_written % 500 == 0:
+                print(f"  {n_written} images written...", flush=True)
+
+    if cat_entries:
+        write_meta(out_dir, cat_entries, ())
+    print(f"done: {out_dir} ({n_written} images)")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -1113,6 +1214,13 @@ def main(argv=None):
                        help="export every Nth frame (args.py:887-896)")
     p_scn.add_argument("--max-scenes", type=int, default=None)
 
+    p_coco = sub.add_parser("coco")
+    p_coco.add_argument("--raw", required=True,
+                        help="COCO root (train2017/, annotations/"
+                        "panoptic_*.json + PNG dirs)")
+    p_coco.add_argument("--out", required=True)
+    p_coco.add_argument("--max-frames", type=int, default=None)
+
     p_cs = sub.add_parser("cityscapes")
     p_cs.add_argument("--raw", required=True,
                       help="Cityscapes root (leftImg8bit/, gtFine/, "
@@ -1141,6 +1249,8 @@ def main(argv=None):
                         max_scenes=ns.max_scenes)
     elif ns.dataset == "cityscapes":
         prepare_cityscapes(ns.raw, ns.out, max_frames=ns.max_frames)
+    elif ns.dataset == "coco":
+        prepare_coco(ns.raw, ns.out, max_frames=ns.max_frames)
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
