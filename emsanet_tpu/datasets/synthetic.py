@@ -56,7 +56,13 @@ class SyntheticDataset(SceneAnalysisDataset):
         return self._cameras
 
     def _load(self, idx: int) -> dict:
-        rng = np.random.RandomState(hash((self.split, idx)) % (2**31))
+        # stable per-(split, idx) seed: Python's hash() is randomized per
+        # process (PYTHONHASHSEED), which silently made synthetic data
+        # non-reproducible across runs
+        import zlib
+
+        seed = zlib.crc32(f"{self.split}:{idx}".encode()) % (2**31)
+        rng = np.random.RandomState(seed)
         h, w = self.height, self.width
         n_sem = len(self._config.semantic_label_list)  # incl. void
         is_thing = np.asarray(self._config.semantic_label_list.classes_is_thing)
