@@ -71,6 +71,13 @@ class PreparedDataset(SceneAnalysisDataset):
         meta_config = load_meta_config(
             dataset_path, split=split, depth_mode=depth_mode
         )
+        if meta_config is not None and semantic_n_classes is not None and (
+            meta_config.n_semantic_classes_without_void != semantic_n_classes
+        ):
+            # an explicit class-count request (e.g. ScanNet-20 benchmark
+            # mode on a 40-class prepared dataset) must not be silently
+            # overridden by the prepared meta table
+            meta_config = None
         self._config = meta_config or get_metadata_config(
             dataset_name,
             semantic_n_classes=semantic_n_classes,
@@ -218,16 +225,15 @@ class PreparedDataset(SceneAnalysisDataset):
         'other indoor' when available, else void (0)."""
         try:
             idx = int(content)
-            name = (
-                self._scene_names_on_disk[idx]
-                if 0 <= idx < len(self._scene_names_on_disk)
-                else "void"
-            )
+            in_range = 0 <= idx < len(self._scene_names_on_disk)
+            name = self._scene_names_on_disk[idx] if in_range else "void"
             if not self._scene_domestic and (
                 self._config.scene_label_list.class_names
                 == self._scene_names_on_disk
             ):
-                return idx  # fast path: exposed list is the on-disk list
+                # fast path: exposed list is the on-disk list; an
+                # out-of-range index (corrupt file) maps to void
+                return idx if in_range else 0
         except ValueError:
             name = content
         if self._scene_domestic:

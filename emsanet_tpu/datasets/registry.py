@@ -120,13 +120,35 @@ def get_dataset(
 
 
 def get_dataset_config(data_cfg: DataConfig) -> DatasetConfig:
-    """Main (first) dataset's static config without touching the disk."""
+    """Main (first) dataset's static config.
+
+    Prefers the prepared dataset's authoritative `meta.json` (label
+    tables used at conversion time + real depth stats) when a dataset
+    path is configured — the same precedence `PreparedDataset` applies —
+    so the model/preprocessor/metrics see identical tables to the
+    loader. Falls back to the built-in tables.
+    """
     main = parse_datasets(data_cfg.dataset)[0]["name"]
+    n_classes = (
+        data_cfg.scannet_semantic_n_classes if main == "scannet" else None
+    )
+    main_path = (data_cfg.dataset_path or "").split(":")[0]
+    if main_path and not data_cfg.scene_use_indoor_domestic_labels:
+        from emsanet_tpu.datasets.metadata import load_meta_config
+
+        meta = load_meta_config(
+            main_path,
+            depth_mode="raw" if data_cfg.raw_depth else "refined",
+        )
+        # an explicit class-count request must not be silently overridden
+        if meta is not None and (
+            n_classes is None
+            or meta.n_semantic_classes_without_void == n_classes
+        ):
+            return meta
     return get_metadata_config(
         main,
-        semantic_n_classes=(
-            data_cfg.scannet_semantic_n_classes if main == "scannet" else None
-        ),
+        semantic_n_classes=n_classes,
         scene_use_indoor_domestic_labels=(
             data_cfg.scene_use_indoor_domestic_labels
         ),

@@ -126,7 +126,7 @@ class DecoderModule(nn.Module):
             )(x)
 
         x = Upsampling(self.upsampling, fused=self.fused_inference,
-                       dtype=self.dtype, name="upsample")(x)
+                       dtype=self.dtype, name="upsample")(x, train=train)
         if skips is not None:
             x = EncoderDecoderFusion(
                 mode=self.fusion, normalization=self.normalization,
@@ -149,11 +149,11 @@ class PredictionUpsampling(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
-                       name="up0")(x)
+                       name="up0")(x, train=train)
         x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
-                       name="up1")(x)
+                       name="up1")(x, train=train)
         return x
 
 
@@ -272,7 +272,7 @@ class DenseDecoder(nn.Module):
         pred = PredictionUpsampling(
             self.prediction_upsampling, fused=self.fused_inference,
             dtype=self.dtype, name="head_upsampling"
-        )(pred)
+        )(pred, train=train)
         pred = self._encode(pred)
 
         out: Dict[str, Any] = {"side_outputs": tuple(side_outputs)}
@@ -398,7 +398,7 @@ class MLPDecoder(nn.Module):
         pred = PredictionUpsampling(
             self.prediction_upsampling, fused=self.fused_inference,
             dtype=self.dtype, name="head_upsampling"
-        )(pred)
+        )(pred, train=train)
 
         out: Dict[str, Any] = {"side_outputs": ()}
         if self.task == "semantic":

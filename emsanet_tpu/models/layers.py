@@ -333,6 +333,8 @@ def apply_blocks_maybe_fused(
             isinstance(b, NonBottleneck1D)
             and strides[i] == 1
             and b.normalization == "batchnorm"
+            and b.activation == "relu"  # the Pallas kernel hardcodes relu
+            and b.dropout_p == 0.0
         ):
             tail_start = i
         else:

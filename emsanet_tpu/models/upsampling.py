@@ -72,7 +72,7 @@ class Upsampling(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         method = self.method.lower()
         if method == "nearest":
             return nearest_x2(x)
@@ -90,6 +90,7 @@ class Upsampling(nn.Module):
             if (
                 method == "learned-3x3-zeropad"
                 and self.fused
+                and not train  # contract: fused path is inference-only
                 and h * w >= 60 * 80
                 and not self.is_initializing()
             ):

@@ -87,7 +87,8 @@ def test_chain_supported():
     assert not chain_supported(30, 40, 256, 5)   # C=256: XLA is faster
     assert not chain_supported(30, 40, 512, 3)   # C=512 stays on XLA
     assert not chain_supported(60, 80, 128, 1)   # single block: no win
-    assert not chain_supported(60, 20, 128, 3) or True  # w=20: mult-of-8 ok
+    assert not chain_supported(60, 20, 128, 3)   # W too small for tiles
+    assert not chain_supported(60, 81, 128, 3)   # W not a multiple of 8
 
 
 def test_fused_model_forward_matches_unfused():

@@ -875,9 +875,12 @@ def prepare_scannet(raw_root, out_dir, splits=("train", "valid"),
 
                 lab = read_mask(zl, lnames)
                 if lab is not None and label_map_arr is not None:
-                    sem = label_map_arr[
-                        np.clip(lab, 0, len(label_map_arr) - 1)
-                    ]
+                    in_range = lab < len(label_map_arr)
+                    sem = np.where(
+                        in_range,
+                        label_map_arr[np.where(in_range, lab, 0)],
+                        0,  # ids beyond the tsv table -> void
+                    ).astype(np.uint8)
                     _save_png(os.path.join(out_dir, split, "semantic_40",
                                            sid + ".png"), sem)
                 inst = read_mask(zi, inames)
