@@ -148,15 +148,21 @@ class PanopticQuality:
         self.fp = np.zeros(n, np.int64)
         self.fn = np.zeros(n, np.int64)
 
-    def update(self, pred: np.ndarray, target: np.ndarray):
-        """pred/target: (H, W) or (N, H, W) int panoptic id maps."""
+    def update(
+        self, pred: np.ndarray, target: np.ndarray
+    ) -> List[List[Tuple[int, int, float]]]:
+        """pred/target: (H, W) or (N, H, W) int panoptic id maps.
+
+        Returns the per-image matched segments ([(target_id, pred_id,
+        iou)], same as `match_segments`) so callers that also need the
+        matching (orientation MAAE meta aggregation) don't pay a second
+        full matching pass per image.
+        """
         pred = np.asarray(pred)
         target = np.asarray(target)
         if pred.ndim == 3:
-            for p, t in zip(pred, target):
-                self._update_single(p, t)
-        else:
-            self._update_single(pred, target)
+            return [self._update_single(p, t) for p, t in zip(pred, target)]
+        return [self._update_single(pred, target)]
 
     def match_segments(
         self, pred: np.ndarray, target: np.ndarray
@@ -252,6 +258,7 @@ class PanopticQuality:
             if pred_void_inter.get(pid, 0) > 0.5 * p_area[pid]:
                 continue
             self.fp[p_cls] += 1
+        return matches
 
     def compute(self) -> Dict[str, float]:
         results = {}

@@ -205,7 +205,7 @@ class PanopticTaskHelper(TaskHelperBase):
                 np.asarray(batch["semantic"]), np.asarray(batch["instance"]),
                 self.is_thing,
             )
-        self.pq.update(pred_pan[valid], gt_pan[valid])
+        pq_matches = self.pq.update(pred_pan[valid], gt_pan[valid])
         # post-merge semantic mIoU (README 'mIoU after panoptic merge')
         sem_after = (pred_pan // LABEL_DIVISOR).astype(np.int32)
         sem_gt = np.asarray(
@@ -215,11 +215,10 @@ class PanopticTaskHelper(TaskHelperBase):
 
         if self.has_orientation and "orientations_instance" in predictions:
             self._update_orientation(
-                batch, predictions, valid, pred_pan, gt_pan
+                batch, predictions, valid, pq_matches
             )
 
-    def _update_orientation(self, batch, predictions, valid, pred_pan,
-                            gt_pan):
+    def _update_orientation(self, batch, predictions, valid, pq_matches):
         """MAAE aggregated via the panoptic instance meta.
 
         Reference protocol ('panoptic_mae_deeplab_deg', README.md:268-336):
@@ -238,15 +237,14 @@ class PanopticTaskHelper(TaskHelperBase):
         if gt_orients is None:
             return
         div = LABEL_DIVISOR
-        for b in range(pred_pan.shape[0]):
-            if not valid[b]:
-                continue
+        # pq_matches holds the matches from self.pq.update over the
+        # valid-masked subset, in subset order (no second matching pass)
+        valid_indices = np.flatnonzero(valid)
+        for subset_i, b in enumerate(valid_indices):
             ori = gt_orients[b] if isinstance(gt_orients, list) else gt_orients
             if not ori:
                 continue
-            for tid, pid, _ in self.pq.match_segments(
-                pred_pan[b], gt_pan[b]
-            ):
+            for tid, pid, _ in pq_matches[subset_i]:
                 cls = tid // div
                 gt_inst = tid % div
                 pred_inst = pid % div
