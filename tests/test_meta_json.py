@@ -139,3 +139,46 @@ def test_prepare_synthetic_emits_usable_meta(tmp_path):
     )
     s = ds.load_raw(0)
     assert s["rgb"].shape == (24, 32, 3)
+
+
+def test_get_dataset_config_prefers_meta_json(tmp_path):
+    """The model/preprocessor-facing config must see the prepared
+    dataset's authoritative meta.json, not the built-in fallback tables
+    (round-2 review finding: converters write real depth stats/label
+    tables that otherwise never reached NormalizeDepth/is_thing)."""
+    import json
+
+    from emsanet_tpu.config import DataConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+
+    meta = {
+        "version": 1,
+        "semantic_labels": [
+            {"name": "void", "is_thing": False, "use_orientations": False,
+             "color": [0, 0, 0]},
+            {"name": "only-class", "is_thing": True,
+             "use_orientations": False, "color": [10, 20, 30]},
+        ],
+        "scene_labels": ["void", "lab"],
+        "depth_stats": {"min": 0.0, "max": 123.0, "mean": 42.0,
+                        "std": 7.0},
+    }
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+
+    cfg = get_dataset_config(
+        DataConfig(dataset="nyuv2", dataset_path=str(tmp_path))
+    )
+    assert cfg.depth_stats.mean == 42.0  # meta, not the built-in 2841
+    assert cfg.semantic_label_list[1].class_name == "only-class"
+
+    # no path -> built-ins
+    cfg2 = get_dataset_config(DataConfig(dataset="nyuv2"))
+    assert cfg2.depth_stats.mean != 42.0
+    assert len(cfg2.semantic_label_list) == 41
+
+    # explicit class count that mismatches meta -> built-ins win
+    cfg3 = get_dataset_config(
+        DataConfig(dataset="scannet", dataset_path=str(tmp_path),
+                   scannet_semantic_n_classes=20)
+    )
+    assert len(cfg3.semantic_label_list) == 21

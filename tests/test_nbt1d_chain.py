@@ -145,3 +145,47 @@ def test_fused_model_forward_matches_unfused():
                 np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
                 err_msg=f"{task}/{key}",
             )
+
+
+def test_fused_flag_does_not_change_training_graph():
+    """fused_inference=True must not alter train-mode numerics: the
+    chain kernel and polyphase upsampling are inference-only (round-2
+    review finding: the polyphase path was not gated on train)."""
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet, init_model
+
+    common = dict(
+        tasks=("semantic", "instance"),
+        input_height=96, input_width=128,
+        rgb_encoder_backbone="resnet18", depth_encoder_backbone="resnet18",
+    )
+    ds_config = get_dataset_config(DataConfig(dataset="synthetic"))
+    cfg_a = EMSANetConfig(
+        model=ModelConfig(fused_inference=False, **common)).validate()
+    cfg_b = EMSANetConfig(
+        model=ModelConfig(fused_inference=True, **common)).validate()
+    model_a = EMSANet(cfg=cfg_a.model, dataset_config=ds_config)
+    model_b = EMSANet(cfg=cfg_b.model, dataset_config=ds_config)
+    variables = init_model(model_a, jax.random.PRNGKey(0), train=True)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32),
+        "depth": jnp.asarray(rng.randn(1, 96, 128, 1), jnp.float32),
+    }
+    outs = []
+    for model in (model_a, model_b):
+        out, _ = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        outs.append(out)
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]["semantic"]["logits"]),
+        np.asarray(outs[1]["semantic"]["logits"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]["instance"]["center"]),
+        np.asarray(outs[1]["instance"]["center"]),
+    )
