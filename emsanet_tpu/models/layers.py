@@ -334,7 +334,8 @@ def apply_blocks_maybe_fused(
             and strides[i] == 1
             and b.normalization == "batchnorm"
             and b.activation == "relu"  # the Pallas kernel hardcodes relu
-            and b.dropout_p == 0.0
+            # dropout needs no gate: use_fused already requires
+            # (not train and deterministic), where dropout is a no-op
         ):
             tail_start = i
         else:
