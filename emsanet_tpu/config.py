@@ -145,10 +145,21 @@ class ModelConfig:
     he_init: Tuple[str, ...] = ("encoder-fusion",)
     no_zero_init_decoder_residuals: bool = False
 
+    # per-task multiscale (side-output) supervision toggles
+    # (args.py:731, :757, :782; forced off for non-emsanet decoders,
+    # args.py:1382-1398)
+    semantic_no_multiscale_supervision: bool = False
+    instance_no_multiscale_supervision: bool = False
+    normal_no_multiscale_supervision: bool = False
+
     # pretrained weights
     no_pretrained_backbone: bool = True
+    # args.py:133: one path that initializes every encoder backbone
+    # (per-modality paths below take effect after propagation)
+    encoder_backbone_pretrained_weights_filepath: Optional[str] = None
     rgb_encoder_backbone_pretrained_weights_filepath: Optional[str] = None
     depth_encoder_backbone_pretrained_weights_filepath: Optional[str] = None
+    rgbd_encoder_backbone_pretrained_weights_filepath: Optional[str] = None
 
     # --- TPU-specific (no reference analog) ---
     # compute dtype for conv/matmul inside the network; params stay f32
@@ -176,18 +187,46 @@ class ModelConfig:
     def instance_sigmoid_for_center(self) -> bool:
         return self.instance_center_encoding == "sigmoid"
 
-    @property
-    def side_output_downscales(self) -> Tuple[int, ...]:
-        """Side (multi-scale supervision) output downscales.
+    def task_multiscale_supervision(self, task: str) -> bool:
+        """Whether `task`'s decoder trains with side-output supervision.
+
+        Off when the per-task `--*-no-multiscale-supervision` flag is set
+        or the decoder type has no side outputs (args.py:1382-1398).
+        """
+        if task not in ("semantic", "instance", "normal"):
+            return False
+        if task not in self.tasks:
+            return False
+        if getattr(self, f"{task}_decoder") != "emsanet":
+            return False
+        return not getattr(self, f"{task}_no_multiscale_supervision")
+
+    def task_side_output_downscales(self, task: str) -> Tuple[int, ...]:
+        """Side (multi-scale supervision) output downscales for one task.
 
         Each decoder module emits its side output at the scale it *receives*
         (before its x2 upsample): module target downscales (16, 8, 4) =>
         side outputs at (32, 16, 8). Matches the reference's `_down_{8,16,32}`
         batch keys (visualization.py:133-141).
         """
-        if self.semantic_decoder != "emsanet":
+        if not self.task_multiscale_supervision(task):
             return ()
-        return tuple(2 * d for d in self.semantic_decoder_downsamplings)
+        return tuple(
+            2 * d for d in getattr(self, f"{task}_decoder_downsamplings")
+        )
+
+    @property
+    def side_output_downscales(self) -> Tuple[int, ...]:
+        """Union of side-output downscales over all supervised tasks.
+
+        Drives which `_down_{s}` target sub-batches the preprocessor
+        generates (reference main.py:392-393 collects the union the same
+        way from each decoder's `side_output_downscales`).
+        """
+        scales: set = set()
+        for task in ("semantic", "instance", "normal"):
+            scales.update(self.task_side_output_downscales(task))
+        return tuple(sorted(scales, reverse=True))
 
 
 @dataclass
@@ -211,17 +250,29 @@ class DataConfig:
     cache_dataset: bool = False
     scannet_semantic_n_classes: int = 40  # args.py:894
     scannet_subsample: int = 50  # args.py:887
+    validation_scannet_subsample: int = 100  # args.py:1030
     hypersim_subsample: int = 1  # args.py:940
+    hypersim_use_old_depth_stats: bool = False  # args.py:930
     sunrgbd_depth_do_not_force_mm: bool = False  # args.py:903
     sunrgbd_instances_version: str = "panopticndt"  # args.py:910
-    scene_use_indoor_domestic_labels: bool = False  # args.py:932
+    # reference default: unified indoor-domestic scene labels ON
+    # (`--use-original-scene-labels` disables them, args.py:834;
+    # data.py:178 passes `not use_original_scene_labels`)
+    use_original_scene_labels: bool = False
+    scene_use_indoor_domestic_labels: bool = True
     validation_scannet_benchmark_mode: bool = False  # args.py:950
     validation_full_resolution: bool = False  # args.py:955
     validation_input_height: Optional[int] = None  # args.py:963 (default input)
     validation_input_width: Optional[int] = None
-    class_weighting: str = "median-frequency"  # args.py:711
-    class_weighting_c: float = 1.02  # args.py:718
-    class_weighting_logarithmic_c: float = 1.02
+    # reference flags '--semantic-class-weighting' (args.py:708) and
+    # '--semantic-class-weighting-logarithmic-c' (args.py:716)
+    class_weighting: str = "median-frequency"
+    class_weighting_c: float = 1.02
+    # --- TPU-specific (no reference analog) ---
+    # loader worker pool: 'thread' (GIL-releasing native kernels, ~3x
+    # ceiling) or 'process' (forked workers, the torch-DataLoader analog;
+    # right on multi-core hosts feeding multi-chip training)
+    worker_mode: str = "thread"
     # synthetic dataset knobs (tests/bench only)
     synthetic_n_samples: int = 16
 
@@ -241,7 +292,10 @@ class TrainConfig:
     instance_center_loss: str = "mse"  # args.py:753
     orientation_kappa: float = 1.0  # args.py:768
     normal_loss: str = "l1"  # args.py:778
-    label_smoothing: float = 0.0  # args.py:726
+    # per-task label smoothing (args.py '--semantic-loss-label-smoothing',
+    # '--scene-loss-label-smoothing'; task_helper.py:35,45)
+    semantic_loss_label_smoothing: float = 0.0
+    scene_loss_label_smoothing: float = 0.0
     # validation / checkpointing
     validation_skip: float = 0.0  # args.py:1004
     validation_force_interval: int = 20  # args.py:1014
@@ -252,9 +306,16 @@ class TrainConfig:
     resume_ckpt_filepath: Optional[str] = None
     weights_filepath: Optional[str] = None
     overfit_n_batches: int = -1  # args.py:1133
+    skip_sanity_check: bool = False  # args.py:1122
     validation_only: bool = False
     visualize_validation: bool = False
+    visualization_output_path: Optional[str] = None  # args.py:961
     results_basepath: str = "./results"  # args.py:46
+    # run bookkeeping (args.py:1168 '--hostname', :1174 '--notes',
+    # :1180 '--disable-progress-bars'); recorded into args.json
+    hostname: str = ""
+    notes: str = ""
+    disable_progress_bars: bool = False
     # rng
     seed: int = 0
     # --- TPU-specific ---
@@ -300,6 +361,41 @@ class EMSANetConfig:
         # single modality => encoder fusion none (args.py:1317-1321)
         if len(m.input_modalities) == 1 and m.encoder_fusion != "none":
             m.encoder_fusion = "none"
+
+        # multiscale supervision forced off for decoders without side
+        # outputs (args.py:1382-1398, decoders_with_ms = ('emsanet',))
+        for task in ("semantic", "instance", "normal"):
+            if getattr(m, f"{task}_decoder") != "emsanet":
+                setattr(m, f"{task}_no_multiscale_supervision", True)
+
+        # one pretrained-weights path for every encoder backbone
+        # (args.py:133; per-modality paths win if both are given)
+        if m.encoder_backbone_pretrained_weights_filepath:
+            shared = m.encoder_backbone_pretrained_weights_filepath
+            for mod in ("rgb", "depth", "rgbd"):
+                key = f"{mod}_encoder_backbone_pretrained_weights_filepath"
+                if getattr(m, key) is None:
+                    setattr(m, key, shared)
+
+        # reference scene-label polarity (args.py:834, data.py:178):
+        # indoor-domestic labels are the default; `use_original_scene_labels`
+        # switches back to the raw per-dataset scene lists
+        if d.use_original_scene_labels:
+            d.scene_use_indoor_domestic_labels = False
+
+        # --hypersim-use-old-depth-stats (args.py:930): the v030 stats
+        # live in the unvendored nicr package; prepared datasets carry
+        # conversion-time stats in meta.json instead, so this build can
+        # only warn (documented in PARITY.md)
+        if d.hypersim_use_old_depth_stats:
+            import warnings
+
+            warnings.warn(
+                "hypersim_use_old_depth_stats: v030 depth stats are not "
+                "vendorable offline; the prepared meta.json stats are used "
+                "instead (weights trained before Apr 2022 may need manual "
+                "depth-stat overrides)."
+            )
 
         # default task weighting (args.py:1346-1348): 1.0 per task
         if t.tasks_weighting is None:

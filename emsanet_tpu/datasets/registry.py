@@ -95,8 +95,13 @@ def get_dataset(
             kwargs = {}
             if name == "scannet":
                 kwargs["semantic_n_classes"] = data_cfg.scannet_semantic_n_classes
-                if split == "train":
-                    kwargs["subsample"] = data_cfg.scannet_subsample
+                # train vs validation subsamples differ (reference
+                # data.py:278-283: --scannet-subsample for train,
+                # --validation-scannet-subsample otherwise)
+                kwargs["subsample"] = (
+                    data_cfg.scannet_subsample if split == "train"
+                    else data_cfg.validation_scannet_subsample
+                )
             if name == "hypersim" and split == "train":
                 kwargs["subsample"] = data_cfg.hypersim_subsample
             ds = PreparedDataset(
@@ -133,8 +138,13 @@ def get_dataset_config(data_cfg: DataConfig) -> DatasetConfig:
         data_cfg.scannet_semantic_n_classes if main == "scannet" else None
     )
     main_path = (data_cfg.dataset_path or "").split(":")[0]
-    if main_path and not data_cfg.scene_use_indoor_domestic_labels:
-        from emsanet_tpu.datasets.metadata import load_meta_config
+    if main_path:
+        from emsanet_tpu.datasets.metadata import (
+            INDOOR_DOMESTIC_SCENES,
+            _build_scene_list,
+            load_meta_config,
+        )
+        from emsanet_tpu.datasets.base import build_dataset_config
 
         meta = load_meta_config(
             main_path,
@@ -145,6 +155,20 @@ def get_dataset_config(data_cfg: DataConfig) -> DatasetConfig:
             n_classes is None
             or meta.n_semantic_classes_without_void == n_classes
         ):
+            if data_cfg.scene_use_indoor_domestic_labels and (
+                tuple(meta.scene_label_list.class_names[1:])
+                != INDOOR_DOMESTIC_SCENES
+            ):
+                # same scene-list override PreparedDataset applies: keep
+                # the authoritative semantic tables + depth stats, expose
+                # the unified indoor-domestic scene classes
+                meta = build_dataset_config(
+                    semantic_label_list=meta.semantic_label_list,
+                    scene_label_list=_build_scene_list(
+                        INDOOR_DOMESTIC_SCENES
+                    ),
+                    depth_stats=meta.depth_stats,
+                )
             return meta
     return get_metadata_config(
         main,

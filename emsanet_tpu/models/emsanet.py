@@ -203,20 +203,30 @@ class EMSANet(nn.Module):
         con_out, con_context = self.context_module(con_input, train=train)
 
         outputs: Dict[str, Any] = {}
+        # per-task multiscale-supervision toggles (args.py:731,757,782)
         if "semantic" in cfg.tasks:
             outputs["semantic"] = self.semantic_decoder(
                 con_out, skips, train=train, deterministic=not train,
-                with_side_outputs=with_side_outputs,
+                with_side_outputs=(
+                    with_side_outputs
+                    and not cfg.semantic_no_multiscale_supervision
+                ),
             )
         if "instance" in cfg.tasks:
             outputs["instance"] = self.instance_decoder(
                 con_out, skips, train=train, deterministic=not train,
-                with_side_outputs=with_side_outputs,
+                with_side_outputs=(
+                    with_side_outputs
+                    and not cfg.instance_no_multiscale_supervision
+                ),
             )
         if "normal" in cfg.tasks:
             outputs["normal"] = self.normal_decoder(
                 con_out, skips, train=train, deterministic=not train,
-                with_side_outputs=with_side_outputs,
+                with_side_outputs=(
+                    with_side_outputs
+                    and not cfg.normal_no_multiscale_supervision
+                ),
             )
         if "scene" in cfg.tasks:
             outputs["scene"] = {

@@ -88,14 +88,31 @@ def compute_losses(
     side_output_downscales: Tuple[int, ...] = (32, 16, 8),
     orientation_kappa: float = 1.0,
     label_smoothing: float = 0.0,
+    scene_label_smoothing: Optional[float] = None,
     instance_center_loss: str = "mse",
+    semantic_side_downscales: Optional[Tuple[int, ...]] = None,
+    instance_side_downscales: Optional[Tuple[int, ...]] = None,
+    normal_side_downscales: Optional[Tuple[int, ...]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-task total losses keyed by `get_total_loss_key` names.
 
     cfg: ModelConfig. Side outputs (train mode) are matched positionally
-    with `_down_{s}` target sub-batches.
+    with `_down_{s}` target sub-batches; per-task downscale tuples are
+    empty when that task trains without multiscale supervision
+    (reference `--*-no-multiscale-supervision`, args.py:731,757,782) and
+    default to `side_output_downscales` otherwise. `label_smoothing`
+    applies to the semantic CE; `scene_label_smoothing` (default: same)
+    to the scene CE (args.py '--{semantic,scene}-loss-label-smoothing').
     """
     losses: Dict[str, jnp.ndarray] = {}
+    if scene_label_smoothing is None:
+        scene_label_smoothing = label_smoothing
+    if semantic_side_downscales is None:
+        semantic_side_downscales = side_output_downscales
+    if instance_side_downscales is None:
+        instance_side_downscales = side_output_downscales
+    if normal_side_downscales is None:
+        normal_side_downscales = side_output_downscales
 
     def down(s):
         return batch.get(f"_down_{s}", {})
@@ -106,7 +123,8 @@ def compute_losses(
             class_weights, label_smoothing,
         )
         for side, s in zip(
-            outputs["semantic"].get("side_outputs", ()), side_output_downscales
+            outputs["semantic"].get("side_outputs", ()),
+            semantic_side_downscales,
         ):
             tgt = down(s).get("semantic")
             if tgt is not None:
@@ -134,7 +152,7 @@ def compute_losses(
                 batch["orientation_foreground"], kappa=orientation_kappa,
             )
         for side, s in zip(
-            inst.get("side_outputs", ()), side_output_downscales
+            inst.get("side_outputs", ()), instance_side_downscales
         ):
             sub = down(s)
             if "instance_center" not in sub:
@@ -160,14 +178,23 @@ def compute_losses(
     if "scene" in outputs and "scene" in batch:
         losses[get_total_loss_key("scene")] = cross_entropy_scene(
             outputs["scene"]["logits"], batch["scene"],
-            label_smoothing=label_smoothing,
+            label_smoothing=scene_label_smoothing,
         )
 
     if "normal" in outputs and "normal" in batch:
         mask = batch.get("normal_mask")
-        losses[get_total_loss_key("normal")] = l1_normal(
+        total = l1_normal(
             outputs["normal"]["normal"], batch["normal"], mask
         )
+        for side, s in zip(
+            outputs["normal"].get("side_outputs", ()), normal_side_downscales
+        ):
+            sub = down(s)
+            if "normal" in sub:
+                total = total + l1_normal(
+                    side, sub["normal"], sub.get("normal_mask")
+                )
+        losses[get_total_loss_key("normal")] = total
 
     return losses
 
@@ -187,6 +214,10 @@ def make_train_step(
         cfg.model.tasks, cfg.train.tasks_weighting, cfg.train.instance_weighting
     )
     side_downscales = cfg.model.side_output_downscales
+    per_task_downscales = {
+        task: cfg.model.task_side_output_downscales(task)
+        for task in ("semantic", "instance", "normal")
+    }
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         outputs, mutated = model.apply(
@@ -202,8 +233,12 @@ def make_train_step(
             cfg.model,
             class_weights=class_weights,
             side_output_downscales=side_downscales,
+            semantic_side_downscales=per_task_downscales["semantic"],
+            instance_side_downscales=per_task_downscales["instance"],
+            normal_side_downscales=per_task_downscales["normal"],
             orientation_kappa=cfg.train.orientation_kappa,
-            label_smoothing=cfg.train.label_smoothing,
+            label_smoothing=cfg.train.semantic_loss_label_smoothing,
+            scene_label_smoothing=cfg.train.scene_loss_label_smoothing,
             instance_center_loss=cfg.train.instance_center_loss,
         )
         total = loss_weighting.reduce_losses(losses)

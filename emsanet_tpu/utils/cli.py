@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import socket as _socket
 import sys
 from typing import List, Optional, Sequence, Tuple
 
@@ -53,9 +54,21 @@ def build_parser() -> argparse.ArgumentParser:
                    "backend for debugging)")
     g.add_argument("--results-basepath", default="./results")
     g.add_argument("--debug", action="store_true")
+    g.add_argument("--skip-sanity-check", action="store_true",
+                   help="disable the pre-training sanity forward over one "
+                   "batch of every loader (reference args.py:1122)")
     g.add_argument("--validation-only", action="store_true")
     g.add_argument("--visualize-validation", action="store_true")
+    g.add_argument("--visualization-output-path", default=None,
+                   help="where to write visualized predictions (reference "
+                   "args.py:961; default: derived from the weights path)")
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--hostname", default=_socket.gethostname(),
+                   help="recorded into args.json (reference args.py:1168)")
+    g.add_argument("--notes", default="",
+                   help="free-form run notes (reference args.py:1174)")
+    g.add_argument("--disable-progress-bars", action="store_true",
+                   help="reference args.py:1180")
 
     g = p.add_argument_group("model")
     g.add_argument("--tasks", nargs="+", default=("semantic",),
@@ -72,15 +85,19 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--encoder-fusion", default="se-add-uni-rgb",
                    choices=KNOWN_ENCODER_FUSIONS)
     g.add_argument("--rgb-encoder-backbone", default="resnet34")
-    g.add_argument("--rgb-encoder-backbone-block", default="nonbottleneck1d",
-                   choices=KNOWN_BLOCKS)
+    g.add_argument("--rgb-encoder-backbone-resnet-block",
+                   default="nonbottleneck1d", choices=KNOWN_BLOCKS)
     g.add_argument("--depth-encoder-backbone", default="resnet34")
-    g.add_argument("--depth-encoder-backbone-block",
+    g.add_argument("--depth-encoder-backbone-resnet-block",
                    default="nonbottleneck1d", choices=KNOWN_BLOCKS)
     g.add_argument("--rgbd-encoder-backbone", default="resnet34")
-    g.add_argument("--rgbd-encoder-backbone-block", default="nonbottleneck1d",
-                   choices=KNOWN_BLOCKS)
+    g.add_argument("--rgbd-encoder-backbone-resnet-block",
+                   default="nonbottleneck1d", choices=KNOWN_BLOCKS)
     g.add_argument("--no-pretrained-backbone", action="store_true")
+    g.add_argument("--encoder-backbone-pretrained-weights-filepath",
+                   default=None,
+                   help="one pretrained-weights path for every encoder "
+                   "backbone (reference args.py:133)")
     g.add_argument("--remat", action="store_true",
                    help="rematerialize encoder stages + decoder modules "
                    "in the backward pass (trades ~1.3x FLOPs for "
@@ -88,6 +105,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "HBM-roofline-bound at ~119 GB/step without it)")
     g.add_argument("--rgb-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--depth-encoder-backbone-pretrained-weights-filepath")
+    g.add_argument("--rgbd-encoder-backbone-pretrained-weights-filepath")
+    g.add_argument("--he-init", nargs="+", default=("encoder-fusion",),
+                   choices=("encoder-fusion", "encoder-decoder-fusion",
+                            "context-module", "decoder"),
+                   help="network parts initialized with He init "
+                   "(reference args.py:626)")
+    g.add_argument("--no-zero-init-decoder-residuals", action="store_true",
+                   help="disable zero-init of the last norm in decoder "
+                   "residual blocks (reference args.py:640)")
     g.add_argument("--context-module", default="ppm",
                    choices=KNOWN_CONTEXT_MODULES)
     g.add_argument("--upsampling-context-module", default="bilinear",
@@ -120,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=KNOWN_UPSAMPLINGS)
         g.add_argument(f"--{task}-encoder-decoder-fusion", default="add-rgb",
                        choices=KNOWN_ENCODER_DECODER_FUSIONS)
+        g.add_argument(f"--{task}-no-multiscale-supervision",
+                       action="store_true",
+                       help=f"disable side-output supervision for the {task} "
+                       "decoder (reference args.py:731/:757/:782)")
 
     g = p.add_argument_group("model: deprecated aliases")
     g.add_argument("--encoder-decoder-fusion", default=None,
@@ -129,6 +159,22 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--upsampling-decoder", default=None,
                    choices=KNOWN_UPSAMPLINGS,
                    help="[DEPRECATED] sets the upsampling of every decoder")
+    g.add_argument("--normalization", default=None,
+                   choices=KNOWN_NORMALIZATIONS,
+                   help="[DEPRECATED] sets encoder + decoder normalization "
+                   "(reference args.py:1270-1275 shim)")
+    g.add_argument("--rgb-encoder-backbone-block", default=None,
+                   choices=KNOWN_BLOCKS,
+                   help="[DEPRECATED] use --rgb-encoder-backbone-resnet-block "
+                   "(reference args.py:1277-1285 shim)")
+    g.add_argument("--depth-encoder-backbone-block", default=None,
+                   choices=KNOWN_BLOCKS,
+                   help="[DEPRECATED] use "
+                   "--depth-encoder-backbone-resnet-block")
+    g.add_argument("--rgbd-encoder-backbone-block", default=None,
+                   choices=KNOWN_BLOCKS,
+                   help="[DEPRECATED] use "
+                   "--rgbd-encoder-backbone-resnet-block")
 
     g = p.add_argument_group("model: instance head")
     g.add_argument("--instance-center-sigma", type=int, default=8)
@@ -162,10 +208,26 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("mse", "bce"))
     g.add_argument("--orientation-kappa", type=float, default=1.0)
     g.add_argument("--normal-loss", default="l1")
-    g.add_argument("--label-smoothing", type=float, default=0.0)
-    g.add_argument("--class-weighting", default="median-frequency",
-                   choices=KNOWN_CLASS_WEIGHTINGS)
-    g.add_argument("--class-weighting-c", type=float, default=1.02)
+    g.add_argument("--semantic-loss-label-smoothing", type=float,
+                   default=0.0,
+                   help="label smoothing for the semantic CE (reference "
+                   "args.py '--semantic-loss-label-smoothing')")
+    g.add_argument("--scene-loss-label-smoothing", type=float, default=0.0,
+                   help="label smoothing for the scene CE (reference "
+                   "args.py '--scene-loss-label-smoothing')")
+    g.add_argument("--label-smoothing", type=float, default=None,
+                   help="[DEPRECATED] sets both per-task smoothings")
+    g.add_argument("--semantic-class-weighting", default="median-frequency",
+                   choices=KNOWN_CLASS_WEIGHTINGS,
+                   help="reference args.py:708")
+    g.add_argument("--semantic-class-weighting-logarithmic-c", type=float,
+                   default=1.02, help="reference args.py:716")
+    g.add_argument("--class-weighting", default=None,
+                   choices=KNOWN_CLASS_WEIGHTINGS,
+                   help="[DEPRECATED] use --semantic-class-weighting")
+    g.add_argument("--class-weighting-c", type=float, default=None,
+                   help="[DEPRECATED] use "
+                   "--semantic-class-weighting-logarithmic-c")
     g.add_argument("--overfit-n-batches", type=int, default=-1)
     g.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all local)")
@@ -180,10 +242,20 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("dataset")
     g.add_argument("--dataset", default="nyuv2")
     g.add_argument("--dataset-path", default=None)
+    g.add_argument("--split", default="train",
+                   help="training split name (reference args.py:822)")
     g.add_argument("--raw-depth", action="store_true")
+    g.add_argument("--use-original-scene-labels", action="store_true",
+                   help="use the raw per-dataset scene labels instead of "
+                   "the unified indoor-domestic set (reference args.py:834)")
     g.add_argument("--aug-scale-min", type=float, default=1.0)
     g.add_argument("--aug-scale-max", type=float, default=1.4)
     g.add_argument("--n-workers", type=int, default=8)
+    g.add_argument("--worker-mode", default="thread",
+                   choices=("thread", "process"),
+                   help="loader worker pool kind (TPU-repo extension; "
+                   "'process' = forked workers, the torch-DataLoader "
+                   "analog for multi-core hosts)")
     def _subset_train(s: str):
         # '0.2' or per-concatenated-dataset '0.2:1.0' (args.py:865-881)
         parts = tuple(float(v) for v in str(s).split(":"))
@@ -195,11 +267,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--scannet-semantic-n-classes", type=int, default=40,
                    choices=(20, 40, 200, 549))
     g.add_argument("--scannet-subsample", type=int, default=50)
+    g.add_argument("--validation-scannet-subsample", type=int, default=100,
+                   choices=(50, 100, 200, 500),
+                   help="ScanNet subsample for validation (reference "
+                   "args.py:1030)")
     g.add_argument("--hypersim-subsample", type=int, default=1)
+    g.add_argument("--hypersim-use-old-depth-stats", action="store_true",
+                   help="use pre-Apr-2022 (v030) Hypersim depth stats "
+                   "(reference args.py:930); this build warns when the "
+                   "prepared meta.json carries no v030 table")
     g.add_argument("--sunrgbd-depth-do-not-force-mm", action="store_true")
     g.add_argument("--sunrgbd-instances-version", default="panopticndt",
                    choices=("emsanet", "panopticndt", "anyold"))
-    g.add_argument("--scene-use-indoor-domestic-labels", action="store_true")
     g.add_argument("--synthetic-n-samples", type=int, default=16)
 
     g = p.add_argument_group("validation / checkpointing")
@@ -222,6 +301,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--wandb-mode", default="disabled",
                    choices=("online", "offline", "disabled"))
     g.add_argument("--wandb-project", default="EMSANet-TPU")
+    g.add_argument("--wandb-name", default=None,
+                   help="[DEPRECATED] use --wandb-project (reference "
+                   "args.py:1155)")
     return p
 
 
@@ -246,6 +328,34 @@ def args_to_config(args: argparse.Namespace) -> EMSANetConfig:
         for task in ("semantic", "instance", "normal"):
             setattr(args, f"{task}_decoder_upsampling",
                     args.upsampling_decoder)
+    if getattr(args, "normalization", None):
+        args.encoder_normalization = args.normalization
+        args.decoder_normalization = args.normalization
+    # deprecated `--*-encoder-backbone-block` wins over the primary
+    # `--*-encoder-backbone-resnet-block` when given (args.py:1277-1285)
+    for mod in ("rgb", "depth", "rgbd"):
+        dep = getattr(args, f"{mod}_encoder_backbone_block", None)
+        primary = getattr(args, f"{mod}_encoder_backbone_resnet_block")
+        # the ModelConfig field is named `*_encoder_backbone_block`
+        setattr(args, f"{mod}_encoder_backbone_block",
+                dep if dep is not None else primary)
+    # per-task label smoothing; deprecated --label-smoothing sets both
+    if getattr(args, "label_smoothing", None) is not None:
+        args.semantic_loss_label_smoothing = args.label_smoothing
+        args.scene_loss_label_smoothing = args.label_smoothing
+    # reference class-weighting names; deprecated repo aliases win if given
+    args.class_weighting = (
+        args.class_weighting
+        if getattr(args, "class_weighting", None) is not None
+        else args.semantic_class_weighting
+    )
+    args.class_weighting_c = (
+        args.class_weighting_c
+        if getattr(args, "class_weighting_c", None) is not None
+        else args.semantic_class_weighting_logarithmic_c
+    )
+    if getattr(args, "wandb_name", None):
+        args.wandb_project = args.wandb_name
     args.encoder_decoder_fusion = None
     args.upsampling_decoder = None
 

@@ -258,8 +258,11 @@ def main(argv=None):
                 for th in task_helpers:
                     th.validation_step(batch, preds)
                 if cfg.train.visualize_validation and n_batches == 0:
-                    # example images for the first batch (main.py:553-563)
-                    out = os.path.join(examples_dir, f"epoch_{epoch:04d}")
+                    # example images for the first batch (main.py:553-563);
+                    # --visualization-output-path overrides the run dir
+                    # (reference args.py:961, main.py:528-535)
+                    base = cfg.train.visualization_output_path or examples_dir
+                    out = os.path.join(base, f"epoch_{epoch:04d}")
                     visualize_predictions(preds, batch, out, ds_config)
                     visualize_batches(batch, out, ds_config)
                 n_batches += 1
@@ -274,22 +277,23 @@ def main(argv=None):
                 )
         return logs
 
-    # ----- sanity check (main.py:479-520) -----------------------------------
-    print("[emsanet-tpu] sanity check: 1 train batch + 1 valid batch ...")
-    dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
-    train_iter = data.train_loader.batches(0)
-    sanity_batch = extract_device_batch(next(train_iter))
-    # the step donates its input state; sanity-check a copy so the real
-    # state stays untouched (reference sanity check has no side effects)
-    state_copy = jax.tree.map(
-        lambda x: x.copy() if hasattr(x, "copy") else x, state
-    )
-    state_check, metrics = train_step(
-        state_copy, put_batch(sanity_batch), dropout_rng
-    )
-    del state_check
-    print(f"[emsanet-tpu] sanity train loss: "
-          f"{float(metrics['total_loss']):.4f}")
+    # ----- sanity check (main.py:479-520; --skip-sanity-check args.py:1122)
+    if not cfg.train.skip_sanity_check:
+        print("[emsanet-tpu] sanity check: 1 train batch + 1 valid batch ...")
+        dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        train_iter = data.train_loader.batches(0)
+        sanity_batch = extract_device_batch(next(train_iter))
+        # the step donates its input state; sanity-check a copy so the real
+        # state stays untouched (reference sanity check has no side effects)
+        state_copy = jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, state
+        )
+        state_check, metrics = train_step(
+            state_copy, put_batch(sanity_batch), dropout_rng
+        )
+        del state_check
+        print(f"[emsanet-tpu] sanity train loss: "
+              f"{float(metrics['total_loss']):.4f}")
     if cfg.train.validation_only:
         logs = run_validation(epoch=next_epoch)
         print(json.dumps(logs, indent=2, default=float))
@@ -325,7 +329,12 @@ def main(argv=None):
                 batch_iter = tqdm(
                     data.train_loader.batches(epoch),
                     total=len(data.train_loader),
-                    desc=f"epoch {epoch}", leave=False, disable=None,
+                    desc=f"epoch {epoch}", leave=False,
+                    # --disable-progress-bars (args.py:1180); disable=None
+                    # auto-hides on non-tty
+                    disable=(
+                        True if cfg.train.disable_progress_bars else None
+                    ),
                 )
             except ImportError:  # print-only fallback (main.py:256-265)
                 batch_iter = data.train_loader.batches(epoch)
