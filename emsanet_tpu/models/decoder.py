@@ -146,13 +146,17 @@ class PredictionUpsampling(nn.Module):
 
     method: str = "learned-3x3-zeropad"
     fused: bool = False
+    # leave the final x2 stage in the polyphase (pre-interleave) domain
+    # when the fused path triggers; caller detects by channel count
+    defer_final: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
                        name="up0")(x, train=train)
-        x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
+        x = Upsampling(self.method, fused=self.fused,
+                       defer_interleave=self.defer_final, dtype=self.dtype,
                        name="up1")(x, train=train)
         return x
 
@@ -269,18 +273,27 @@ class DenseDecoder(nn.Module):
                 dtype=self.dtype, name="head_conv",
             )(x)
 
+        n_head = pred.shape[-1]
         pred = PredictionUpsampling(
             self.prediction_upsampling, fused=self.fused_inference,
+            # only the semantic head's consumers (argmax/score) commute
+            # with the interleave; instance postprocessing (spatial NMS,
+            # offset grouping) needs real full-res maps
+            defer_final=(self.task == "semantic" and self.fused_inference),
             dtype=self.dtype, name="head_upsampling"
         )(pred, train=train)
-        pred = self._encode(pred)
+        deferred = pred.shape[-1] == 4 * n_head
+        if not deferred:
+            pred = self._encode(pred)
 
         out: Dict[str, Any] = {"side_outputs": tuple(side_outputs)}
         if self.task == "semantic":
-            out["logits"] = pred
+            if deferred:
+                out["logits_polyphase"] = pred
+            else:
+                out["logits"] = pred
         elif self.task == "normal":
-            norm = jnp.linalg.norm(pred, axis=-1, keepdims=True)
-            out["normal"] = pred / jnp.maximum(norm, 1e-7)
+            out["normal"] = pred  # L2-normalized by _encode
         else:
             out["center"] = pred[..., 0:1]
             out["offset"] = pred[..., 1:3]
@@ -289,7 +302,14 @@ class DenseDecoder(nn.Module):
         return out
 
     def _encode(self, pred: jnp.ndarray) -> jnp.ndarray:
-        """Apply output encodings (sigmoid center / tanh offset)."""
+        """Apply output encodings (sigmoid center / tanh offset / L2 norm).
+
+        Shared by the full-res head and the side outputs so multiscale
+        supervision sees the same encoding as the final prediction.
+        """
+        if self.task == "normal":
+            norm = jnp.linalg.norm(pred, axis=-1, keepdims=True)
+            return pred / jnp.maximum(norm, 1e-7)
         if self.task != "instance":
             return pred
         center = pred[..., 0:1]

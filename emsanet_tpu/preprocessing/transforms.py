@@ -533,6 +533,34 @@ class MultiscaleSupervisionGenerator:
         return sample
 
 
+class NormalMaskGenerator:
+    """Valid-pixel mask for normal supervision.
+
+    Prepared normals encode invalid pixels as the zero vector (decoded
+    magnitude ~0 after the [-1, 1] mapping, disk.py); valid normals are
+    unit length. The mask feeds the masked L1 normal loss
+    (`losses.l1_normal`), matching the reference's masked normal loss.
+    Applied after multiscale generation so each `_down_{s}` sub-sample
+    gets a mask from its own (resized) normal map.
+    """
+
+    threshold: float = 0.5
+
+    def _apply(self, d: dict):
+        if "normal" in d and isinstance(d["normal"], np.ndarray):
+            n = d["normal"].astype(np.float32)
+            d["normal_mask"] = (
+                np.linalg.norm(n, axis=-1) > self.threshold
+            )
+
+    def __call__(self, sample: dict) -> dict:
+        self._apply(sample)
+        for k, v in sample.items():
+            if k.startswith("_down_") and isinstance(v, dict):
+                self._apply(v)
+        return sample
+
+
 class NormalizeRGB:
     def __call__(self, sample: dict) -> dict:
         if "rgb" in sample:
@@ -752,6 +780,8 @@ def get_preprocessor(
                 dataset_config.semantic_label_list.classes_use_orientations
             )
         )
+    if "normal" in m.tasks:
+        transforms.append(NormalMaskGenerator())
 
     if "rgb" in m.input_modalities or "rgbd" in m.input_modalities:
         transforms.append(NormalizeRGB())

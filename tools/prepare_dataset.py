@@ -128,6 +128,86 @@ def write_meta(out_dir, semantic_entries, scene_names,
           f"std={meta['depth_stats']['std']:.2f})")
 
 
+# NYUv2 Kinect RGB-camera intrinsics (NYU toolbox camera_params.m;
+# public constants used by the nicr toolchain's normal extraction)
+_NYU_FX = 5.8262448167737955e02
+_NYU_FY = 5.8269103270988637e02
+_NYU_CX = 3.1304475870804731e02
+_NYU_CY = 2.3844389626620386e02
+
+
+def normals_from_depth(depth_m, fx=_NYU_FX, fy=_NYU_FY, cx=_NYU_CX,
+                       cy=_NYU_CY, smooth=3):
+    """Per-pixel surface normals from a metric depth map.
+
+    Standard cross-product-of-gradients on the back-projected point
+    cloud (the nicr toolchain's approach for NYUv2, which ships no
+    rendered normals — reference `emsanet/data.py:230` expects a
+    `normal` sample key on prepared NYUv2):
+
+      P(u,v) = ((u-cx) Z / fx, (v-cy) Z / fy, Z)
+      n = normalize(dP/dv x dP/du), oriented toward the camera.
+
+    Invalid pixels (Z == 0 or any neighbor invalid) get the zero vector,
+    which the prepared-layout encoding maps to "no normal". `smooth`
+    box-filters the depth first to keep quantization noise out of the
+    finite differences.
+
+    Returns (H, W, 3) float32 with unit normals (or zeros).
+    """
+    z = np.asarray(depth_m, np.float32)
+    valid = z > 0
+    if smooth and smooth > 1:
+        # box filter via cumulative sums, normalizing by the valid count
+        k = int(smooth)
+        pad = k // 2
+        zp = np.pad(np.where(valid, z, 0.0), pad, mode="edge")
+        vp = np.pad(valid.astype(np.float32), pad, mode="edge")
+
+        def boxsum(a):
+            c = np.cumsum(np.cumsum(a, 0), 1)
+            c = np.pad(c, ((1, 0), (1, 0)))
+            return (
+                c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+            )
+
+        cnt = boxsum(vp)
+        zs = np.where(cnt > 0, boxsum(zp) / np.maximum(cnt, 1), 0.0)
+        z = np.where(valid, zs, 0.0).astype(np.float32)
+
+    h, w = z.shape
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    x = (u - cx) * z / fx
+    y = (v - cy) * z / fy
+    p = np.stack([x, y, z], axis=-1)
+
+    # central differences (roll keeps shapes static; edges invalidated)
+    dpdu = (np.roll(p, -1, axis=1) - np.roll(p, 1, axis=1)) * 0.5
+    dpdv = (np.roll(p, -1, axis=0) - np.roll(p, 1, axis=0)) * 0.5
+    n = np.cross(dpdv, dpdu)
+
+    # validity: the pixel and its 4 difference neighbors must have depth
+    ok = valid.copy()
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        ok &= np.roll(valid, sh, axis=ax)
+    ok[0, :] = ok[-1, :] = False
+    ok[:, 0] = ok[:, -1] = False
+
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(norm > 1e-12, n / np.maximum(norm, 1e-12), 0.0)
+    # orient toward the camera: flip where n . P > 0 (P points away)
+    flip = np.sum(n * p, axis=-1, keepdims=True) > 0
+    n = np.where(flip, -n, n)
+    n = np.where(ok[..., None], n, 0.0)
+    return n.astype(np.float32)
+
+
+def encode_normals_png(n):
+    """(H, W, 3) unit normals (zeros = invalid) -> uint8 ((v+1)/2*255)."""
+    return np.clip((n + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+
 def prepare_nyuv2(mat_path, splits_path, class_mapping_path, out_dir):
     """Convert the NYUv2 labeled .mat into the prepared layout.
 
@@ -195,6 +275,13 @@ def prepare_nyuv2(mat_path, splits_path, class_mapping_path, out_dir):
         _save_png(
             os.path.join(base, "depth_raw", f"{sid}.png"),
             np.clip(raw_m * 1000.0, 0, 65535).astype(np.uint16),
+        )
+
+        # per-pixel normals from the refined depth (reference data.py:230
+        # expects a 'normal' sample key on prepared NYUv2)
+        _save_png(
+            os.path.join(base, "normal", f"{sid}.png"),
+            encode_normals_png(normals_from_depth(depth_m)),
         )
 
         label = np.transpose(np.asarray(labels[i]), (1, 0)).astype(np.int32)
