@@ -107,3 +107,57 @@ def make_parallel_train_step(model, cfg, class_weights, mesh: Mesh):
         return build(treedef, ndims)(state, batch, rng)
 
     return step
+
+
+def make_parallel_eval_step(
+    model,
+    cfg,
+    is_thing,
+    mesh: Mesh,
+    depth_stats=None,
+    raw_depth: bool = False,
+    use_orientations=None,
+):
+    """Sharded eval step: forward + full postprocessing under the mesh.
+
+    The batch is sharded on axis 0; every chip postprocesses its own
+    shard (the panoptic merge is per-image, so no cross-chip collective
+    is needed) and the prediction dict comes back sharded on axis 0 —
+    the multi-device analog of `training.step.make_eval_step`.
+    """
+    from emsanet_tpu.training.step import make_eval_step
+
+    axis = mesh.axis_names[0]
+    inner = make_eval_step(
+        model, cfg, is_thing,
+        depth_stats=depth_stats, raw_depth=raw_depth,
+        use_orientations=use_orientations,
+    )
+
+    @functools.cache
+    def build(batch_treedef, batch_shapes_dtypes):
+        batch_specs = jax.tree.unflatten(
+            batch_treedef,
+            [P(axis, *([None] * (len(sd[0]) - 1))) if sd[0] else P()
+             for sd in batch_shapes_dtypes],
+        )
+        # every postprocess output keeps its leading (batch) axis, so a
+        # single P(axis) out_specs prefix shards the whole prediction dict
+        mapped = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def step(params, batch_stats, batch):
+        leaves, treedef = jax.tree.flatten(batch)
+        shapes = tuple(
+            (tuple(getattr(l, "shape", ())), np.asarray(l).dtype.str)
+            for l in leaves
+        )
+        return build(treedef, shapes)(params, batch_stats, batch)
+
+    return step

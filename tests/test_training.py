@@ -180,3 +180,56 @@ def test_data_parallel_train_step(tiny_setup):
     # a second step composes (jit cache path)
     new_state2, metrics2 = pstep(new_state, batch_s, jax.random.PRNGKey(3))
     assert float(metrics2["total_loss"]) < float(metrics["total_loss"]) * 10
+
+
+def test_data_parallel_eval_step_matches_single_device(tiny_setup):
+    """Sharded eval (forward + postprocessing) over the virtual mesh
+    agrees with the single-device eval step (VERDICT r2 #6)."""
+    from emsanet_tpu.parallel import create_mesh, make_parallel_eval_step
+    from emsanet_tpu.training.step import make_eval_step
+
+    cfg, model, state, batch = tiny_setup
+    ds_config = get_metadata_config("nyuv2")
+    is_thing = jnp.asarray(
+        np.asarray(ds_config.semantic_label_list.classes_is_thing)
+    )
+    eval_batch = {k: batch[k] for k in ("rgb", "depth")}
+
+    single = make_eval_step(model, cfg, is_thing)
+    want = jax.device_get(
+        single(state.params, state.batch_stats, eval_batch)
+    )
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = create_mesh(n_dev)
+    pstep = make_parallel_eval_step(model, cfg, is_thing, mesh)
+    got = jax.device_get(
+        pstep(state.params, state.batch_stats, eval_batch)
+    )
+
+    assert set(want) == set(got)
+    np.testing.assert_array_equal(
+        np.asarray(want["semantic_segmentation_idx"]),
+        np.asarray(got["semantic_segmentation_idx"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(want["panoptic_segmentation_deeplab"]),
+        np.asarray(got["panoptic_segmentation_deeplab"]),
+    )
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_flagship_topology():
+    """The driver's multichip dryrun runs the REAL flagship graph
+    (R34-NBt1D bf16 multi-task + sharded eval + ckpt round-trip) on the
+    8-device virtual CPU mesh (VERDICT r2 #6)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(min(len(jax.devices()), 8))
