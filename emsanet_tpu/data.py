@@ -16,7 +16,7 @@ from __future__ import annotations
 
 
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -98,8 +98,36 @@ def _load_one(dataset: SceneAnalysisDataset, idx: int, rng_seed: int) -> dict:
     return sample
 
 
+# --- process-worker plumbing -------------------------------------------------
+# ProcessPoolExecutor workers hold the dataset in a module global set by the
+# pool initializer (fork start method: inherited copy-on-write, so the
+# dataset is never pickled per task — only (idx, seed) goes over the pipe
+# and the preprocessed sample comes back).
+_WORKER_DATASET: Optional[SceneAnalysisDataset] = None
+
+
+def _process_worker_init(dataset: SceneAnalysisDataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _load_one_in_worker(idx: int, rng_seed: int) -> dict:
+    return _load_one(_WORKER_DATASET, idx, rng_seed)
+
+
 class DataLoader:
-    """Thread-pooled, prefetching batch loader."""
+    """Prefetching batch loader with thread or process workers.
+
+    worker_mode:
+      'thread'  (default) — sample loads go to a thread pool; the PIL
+                decode and the ctypes native kernels release the GIL, but
+                ~1/3 of the per-sample preprocessing holds it, so threads
+                top out at ~3x (PARITY.md loader analysis).
+      'process' — forked worker processes (the torch-DataLoader analog,
+                reference data.py:342-398 n_workers). No GIL ceiling;
+                pays one pickle round-trip per sample. The right mode on
+                multi-core hosts feeding multi-chip training.
+    """
 
     def __init__(
         self,
@@ -111,6 +139,7 @@ class DataLoader:
         sampler: Optional[RandomSamplerSubset] = None,
         seed: int = 0,
         prefetch: int = 2,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -127,6 +156,15 @@ class DataLoader:
         self.sampler = sampler
         self.seed = seed
         self.prefetch = prefetch
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"Unknown worker_mode '{worker_mode}'")
+        import multiprocessing
+
+        if worker_mode == "process" and (
+            "fork" not in multiprocessing.get_all_start_methods()
+        ):
+            worker_mode = "thread"  # no fork (non-Linux): keep threads
+        self.worker_mode = worker_mode
 
     def __len__(self) -> int:
         n = (
@@ -175,25 +213,37 @@ class DataLoader:
             return
 
         # Sample-level parallelism: individual _load_one calls go to the
-        # pool (they release the GIL in PIL decode and the ctypes native
-        # kernels), a prefetch window of whole batches stays in flight,
-        # and the consumer thread collates completed batches in order.
+        # pool (threads: GIL released in PIL decode + ctypes native
+        # kernels; processes: forked workers, no GIL ceiling), a prefetch
+        # window of whole batches stays in flight, and the consumer
+        # thread collates completed batches in order.
+        def submit(pool, i):
+            seed_i = (self.seed + epoch) * 1_000_003 + int(i)
+            if self.worker_mode == "process":
+                return pool.submit(_load_one_in_worker, int(i), seed_i)
+            return pool.submit(_load_one, self.dataset, int(i), seed_i)
+
         def batch_futures(pool, b):
             lo = b * self.batch_size
             idxs = indices[lo : lo + self.batch_size].tolist()
             n_real = len(idxs)
             while len(idxs) < self.batch_size:
                 idxs.append(idxs[-1])
-            futs = [
-                pool.submit(
-                    _load_one, self.dataset, int(i),
-                    (self.seed + epoch) * 1_000_003 + int(i),
-                )
-                for i in idxs
-            ]
-            return futs, n_real
+            return [submit(pool, i) for i in idxs], n_real
 
-        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
+        if self.worker_mode == "process":
+            import multiprocessing
+
+            pool_cm = ProcessPoolExecutor(
+                max_workers=self.n_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+        else:
+            pool_cm = ThreadPoolExecutor(max_workers=self.n_workers)
+
+        with pool_cm as pool:
             window = self.prefetch + 1
             pending = [
                 batch_futures(pool, b)
@@ -228,6 +278,7 @@ class DataHelper:
         subset_deterministic: bool = False,
         overfit_n_batches: int = -1,
         seed: int = 0,
+        worker_mode: str = "thread",
     ):
         self.dataset_train = dataset_train
         self.dataset_valid = dataset_valid
@@ -275,6 +326,7 @@ class DataHelper:
             n_workers=n_workers,
             sampler=sampler,
             seed=seed,
+            worker_mode=worker_mode,
         )
 
         # per-camera validation loaders (data.py:483-487)
@@ -320,4 +372,5 @@ def get_datahelper(cfg: EMSANetConfig) -> DataHelper:
         subset_deterministic=cfg.data.subset_deterministic,
         overfit_n_batches=cfg.train.overfit_n_batches,
         seed=cfg.train.seed,
+        worker_mode=cfg.data.worker_mode,
     )

@@ -200,3 +200,33 @@ def test_datahelper_concat_subset_fractions():
     )
     assert helper.train_loader.sampler.n_draw == 5 + 2
     assert len(helper.train_loader) == 3  # drop_last: 7 // 2
+
+
+def test_process_workers_match_thread_workers(tmp_path):
+    """Forked process workers deliver bit-identical batches to the thread
+    pool (deterministic per-(epoch,index) rngs survive the fork)."""
+    from emsanet_tpu.data import DataLoader
+
+    root = _write_prepared(tmp_path, n=6)
+    keys = ("identifier", "rgb", "depth", "semantic", "instance", "scene")
+
+    def collect(mode):
+        ds = PreparedDataset(
+            dataset_path=root, dataset_name="nyuv2", split="test",
+            sample_keys=keys,
+        )
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, drop_last=False,
+            n_workers=2, worker_mode=mode,
+        )
+        loader.n_workers = 2  # bypass the 1-core clamp for the test
+        return list(loader.batches(epoch=1))
+
+    thread_batches = collect("thread")
+    process_batches = collect("process")
+    assert len(thread_batches) == len(process_batches) == 3
+    for bt, bp in zip(thread_batches, process_batches):
+        assert set(bt) == set(bp)
+        for k in bt:
+            if isinstance(bt[k], np.ndarray):
+                np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)

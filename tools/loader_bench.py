@@ -36,6 +36,13 @@ def main():
                     "written to a temp dir)")
     ap.add_argument("--no-pack", action="store_true",
                     help="bench the PNG-decode path instead of packed")
+    ap.add_argument("--worker-mode", default="thread",
+                    choices=("thread", "process"),
+                    help="worker pool kind (process = forked workers; "
+                    "note worker count is clamped to available cores)")
+    ap.add_argument("--no-core-clamp", action="store_true",
+                    help="allow more workers than cores (oversubscription "
+                    "measurement)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -80,8 +87,10 @@ def main():
 
     loader = DataLoader(
         ds, batch_size=args.batch_size, shuffle=True, drop_last=True,
-        n_workers=args.n_workers,
+        n_workers=args.n_workers, worker_mode=args.worker_mode,
     )
+    if args.no_core_clamp:
+        loader.n_workers = max(args.n_workers, 1)
 
     # warmup epoch (thread pool spin-up, native lib dlopen, caches)
     for _ in loader.batches(0):
@@ -95,8 +104,8 @@ def main():
     sps = n_samples / dt
     print(f"loader throughput: {sps:.1f} samples/s "
           f"({n_samples} samples in {dt:.2f}s, "
-          f"n_workers={args.n_workers}, b{args.batch_size} "
-          f"{args.height}x{args.width})")
+          f"n_workers={loader.n_workers} mode={loader.worker_mode}, "
+          f"b{args.batch_size} {args.height}x{args.width})")
     # context: one v5e chip trains at ~58 img/s (PARITY.md); 8 chips need
     # ~464 img/s from the loader
     print(f"-> feeds {sps/58:.1f} v5e chips at the measured 58 img/s/chip")

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--runs", type=int, default=30)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--with-loader", action="store_true",
+                    help="also measure overlapped loader+step delivered "
+                    "img/s (end-to-end, not step-only)")
+    ap.add_argument("--loader-epochs", type=int, default=2)
+    ap.add_argument("--worker-mode", default="thread",
+                    choices=("thread", "process"))
     args = ap.parse_args()
 
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
@@ -48,7 +54,11 @@ def main():
             compute_dtype=args.dtype,
             remat=args.remat,
         ),
-        data=DataConfig(dataset="synthetic", batch_size=args.batch),
+        data=DataConfig(dataset="synthetic", batch_size=args.batch,
+                        worker_mode=args.worker_mode,
+                        synthetic_n_samples=(
+                            64 if args.with_loader else 16
+                        )),
     ).validate()
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
@@ -103,6 +113,38 @@ def main():
     print(f"train step: {per*1e3:.1f} ms/step = "
           f"{args.batch/per:.1f} img/s  (chained-state, honest)",
           flush=True)
+
+    if args.with_loader:
+        # ----- overlapped loader + train step: DELIVERED img/s ---------
+        # (VERDICT r2 #7: step throughput nobody can feed is not
+        # throughput). Each loader batch feeds the jitted step; dispatch
+        # is async, so the loader's host work overlaps device compute.
+        # Wall-clock over full epochs -> end-to-end delivered rate.
+        n_batches = len(helper.train_loader)
+        for _ in helper.train_loader.batches(0):
+            pass  # loader warmup (pool spin-up, page cache)
+        t0 = time.perf_counter()
+        n_img = 0
+        loss = None
+        for epoch in range(1, args.loader_epochs + 1):
+            for b in helper.train_loader.batches(epoch):
+                db = extract_device_batch(b)
+                state, metrics = step(
+                    state, jax.device_put(db),
+                    jax.random.fold_in(rng, 7_000 + n_img),
+                )
+                loss = metrics["total_loss"]
+                n_img += args.batch
+        float(loss)  # drain the device queue
+        dt = time.perf_counter() - t0
+        print(
+            f"end-to-end delivered: {n_img/dt:.1f} img/s "
+            f"({n_img} imgs / {dt:.1f}s, {n_batches} batches/epoch, "
+            f"worker_mode={helper.train_loader.worker_mode}, "
+            f"n_workers={helper.train_loader.n_workers}; "
+            f"step-only rate above = {args.batch/per:.1f} img/s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
