@@ -265,3 +265,208 @@ def test_whole_model_torch_parity():
     chk(want["instance_orientation"], got["instance"]["orientation"],
         "orientation")
     chk(want["scene_logits"], got["scene"]["logits"], "scene")
+
+
+def _convert_and_check(tmod, model, stage_blocks, h, w):
+    """Convert the mirror's weights and return matched flax variables."""
+    from emsanet_tpu.weights import _flatten, _unflatten
+    from tools.import_torch_checkpoint import convert_state_dict
+
+    params, stats, unmatched = convert_state_dict(
+        tmod.state_dict(), stage_blocks=stage_blocks, verbose=False
+    )
+    assert not unmatched
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        {"rgb": jnp.zeros((1, h, w, 3)),
+         "depth": jnp.zeros((1, h, w, 1))},
+        train=True,
+    )
+    flat_p = _flatten(variables["params"])
+    assert set(params) == set(flat_p)
+    return {
+        "params": _unflatten({k: v.astype(np.float32)
+                              for k, v in params.items()}),
+        "batch_stats": _unflatten({k: v.astype(np.float32)
+                                   for k, v in stats.items()}),
+    }
+
+
+@pytest.mark.slow
+def test_whole_model_torch_parity_fullres_r34():
+    """Flagship-shape parity: R34 (3,4,6,3) at 480x640 f32 b1 (VERDICT r2
+    next-steps #4). Locks the resolution/depth-dependent numerics the
+    96x128 test cannot see: PPM adaptive pooling at 15x20 context size
+    (reference args.py:970), learned-3x3 boundary behavior through five
+    x2 stages to 480x640, R34 stage indexing, 40-class heads."""
+    import torch
+
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet
+    from emsanet_tpu.torch_compat.mirror import (
+        TorchEMSANet,
+        randomize_batchnorm_stats,
+    )
+
+    stage_blocks = (3, 4, 6, 3)
+    h, w = 480, 640
+    torch.manual_seed(0)
+    tmod = TorchEMSANet(stage_blocks=stage_blocks).eval()
+    randomize_batchnorm_stats(tmod)
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(
+            tasks=("semantic", "instance", "orientation", "scene"),
+            enable_panoptic=True,
+            input_height=h, input_width=w,
+        ),
+        data=DataConfig(dataset="synthetic"),
+    ).validate()
+    model = EMSANet(cfg=cfg.model,
+                    dataset_config=get_dataset_config(cfg.data))
+    variables = _convert_and_check(tmod, model, stage_blocks, h, w)
+
+    torch.manual_seed(1)
+    rgb_t = torch.randn(1, 3, h, w)
+    depth_t = torch.randn(1, 1, h, w)
+    with torch.no_grad():
+        want = tmod(rgb_t, depth_t)
+    batch = {
+        "rgb": jnp.asarray(rgb_t.numpy().transpose(0, 2, 3, 1)),
+        "depth": jnp.asarray(depth_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    got = jax.jit(
+        lambda v, b: model.apply(v, b, train=False)
+    )(variables, batch)
+
+    def chk(torch_out, jax_out, name):
+        np.testing.assert_allclose(
+            np.asarray(jax_out),
+            torch_out.numpy().transpose(0, 2, 3, 1)
+            if torch_out.ndim == 4 else torch_out.numpy(),
+            atol=1e-4, rtol=1e-3, err_msg=name,
+        )
+
+    chk(want["semantic_logits"], got["semantic"]["logits"], "semantic")
+    chk(want["instance_center"], got["instance"]["center"], "center")
+    chk(want["instance_offset"], got["instance"]["offset"], "offset")
+    chk(want["instance_orientation"], got["instance"]["orientation"],
+        "orientation")
+    chk(want["scene_logits"], got["scene"]["logits"], "scene")
+
+
+@pytest.mark.slow
+def test_metric_pipeline_parity():
+    """Converted weights through postprocessing + PQ/mIoU/MAAE on both
+    frameworks: torch-mirror outputs and flax outputs fed through the
+    SAME metric pipeline must produce (near-)identical metric values
+    (VERDICT r2 next-steps #4, metric-pipeline parity)."""
+    import torch
+
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet
+    from emsanet_tpu.postprocessing import postprocess
+    from emsanet_tpu.task_helper import get_task_helpers
+    from emsanet_tpu.torch_compat.mirror import (
+        TorchEMSANet,
+        randomize_batchnorm_stats,
+    )
+
+    stage_blocks = (2, 2, 2, 2)
+    h, w = 96, 128
+    torch.manual_seed(0)
+    tmod = TorchEMSANet(stage_blocks=stage_blocks).eval()
+    randomize_batchnorm_stats(tmod)
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(
+            tasks=("semantic", "instance", "orientation", "scene"),
+            enable_panoptic=True,
+            input_height=h, input_width=w,
+            rgb_encoder_backbone="resnet18",
+            depth_encoder_backbone="resnet18",
+        ),
+        data=DataConfig(dataset="synthetic"),
+    ).validate()
+    ds_config = get_dataset_config(cfg.data)
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    variables = _convert_and_check(tmod, model, stage_blocks, h, w)
+
+    torch.manual_seed(1)
+    rgb_t = torch.randn(2, 3, h, w)
+    depth_t = torch.randn(2, 1, h, w)
+    with torch.no_grad():
+        want = tmod(rgb_t, depth_t)
+
+    batch = {
+        "rgb": jnp.asarray(rgb_t.numpy().transpose(0, 2, 3, 1)),
+        "depth": jnp.asarray(depth_t.numpy().transpose(0, 2, 3, 1)),
+    }
+    got = model.apply(variables, batch, train=False)
+
+    # identical raw-output *structure* from the torch side
+    torch_outputs = {
+        "semantic": {"logits": jnp.asarray(
+            want["semantic_logits"].numpy().transpose(0, 2, 3, 1))},
+        "instance": {
+            "center": jnp.asarray(
+                want["instance_center"].numpy().transpose(0, 2, 3, 1)),
+            "offset": jnp.asarray(
+                want["instance_offset"].numpy().transpose(0, 2, 3, 1)),
+            "orientation": jnp.asarray(
+                want["instance_orientation"].numpy().transpose(0, 2, 3, 1)),
+        },
+        "scene": {"logits": jnp.asarray(want["scene_logits"].numpy())},
+    }
+
+    is_thing = jnp.asarray(
+        np.asarray(ds_config.semantic_label_list.classes_is_thing)
+    )
+    use_orients = jnp.asarray(
+        np.asarray(ds_config.semantic_label_list.classes_use_orientations)
+    )
+    preds_t = jax.device_get(postprocess(
+        torch_outputs, is_thing, cfg.model, use_orientations=use_orients
+    ))
+    preds_j = jax.device_get(postprocess(
+        got, is_thing, cfg.model, use_orientations=use_orients
+    ))
+
+    # the discrete decisions must agree essentially everywhere
+    sem_t = preds_t["semantic_segmentation_idx"]
+    sem_j = preds_j["semantic_segmentation_idx"]
+    assert (sem_t == sem_j).mean() > 0.999
+
+    # synthetic GT + the full metric pipeline on both prediction sets
+    rng = np.random.default_rng(0)
+    gt_sem = rng.integers(0, 41, size=(2, h, w)).astype(np.int32)
+    gt_inst = (rng.integers(0, 4, size=(2, h, w)) *
+               (gt_sem > 20)).astype(np.int32)
+    gt_batch = {
+        "semantic": gt_sem,
+        "instance": gt_inst,
+        "scene": np.asarray([1, 2], np.int32),
+        "orientations_present": [{1: 0.5}, {2: 1.0}],
+    }
+
+    def run_metrics(preds):
+        helpers = get_task_helpers(cfg, ds_config)
+        logs = {}
+        for th in helpers:
+            th.initialize()
+            th.validation_step(gt_batch, preds)
+            _, th_logs = th.validation_epoch_end()
+            logs.update(th_logs)
+        return logs
+
+    logs_t = run_metrics(preds_t)
+    logs_j = run_metrics(preds_j)
+    assert set(logs_t) == set(logs_j)
+    for key in logs_t:
+        a, b = float(logs_t[key]), float(logs_j[key])
+        if np.isnan(a) and np.isnan(b):
+            continue
+        assert abs(a - b) < 5e-3, (key, a, b)
