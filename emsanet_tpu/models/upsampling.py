@@ -69,6 +69,13 @@ class Upsampling(nn.Module):
 
     method: str = "learned-3x3-zeropad"
     fused: bool = False
+    # with the fused polyphase path active, skip the final depth-to-space
+    # and return the (N, H, W, 4C) parity-domain conv output instead
+    # (callers that only reduce over channels interleave their results;
+    # see postprocessing.postprocess_semantic_polyphase). Falls back to
+    # the interleaved (N, 2H, 2W, C) result when the polyphase path does
+    # not trigger — callers detect which by the channel count.
+    defer_interleave: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -96,12 +103,15 @@ class Upsampling(nn.Module):
             ):
                 from emsanet_tpu.ops.polyphase_upsample import (
                     upsample2x_depthwise_polyphase,
+                    upsample2x_depthwise_polyphase_deferred,
                 )
 
                 # kernel stays f32: parity-tap sums are built in param
                 # dtype and cast to x.dtype only at conv time (matches
                 # nn.Conv's promotion to within rounding).
                 kernel = self.variables["params"]["depthwise"]["kernel"]
+                if self.defer_interleave:
+                    return upsample2x_depthwise_polyphase_deferred(x, kernel)
                 return upsample2x_depthwise_polyphase(x, kernel)
             up = nearest_x2(x)
             if method == "learned-3x3":

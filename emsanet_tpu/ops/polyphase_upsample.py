@@ -77,9 +77,27 @@ def upsample2x_depthwise_polyphase(
     Returns (N, 2H, 2W, C) identical (up to dtype rounding) to
     `Upsampling('learned-3x3-zeropad')`.
     """
+    return depth_to_space(
+        upsample2x_depthwise_polyphase_deferred(x, kernel)
+    )
+
+
+def upsample2x_depthwise_polyphase_deferred(
+    x: jnp.ndarray, kernel: jnp.ndarray
+) -> jnp.ndarray:
+    """Polyphase x2 upsample WITHOUT the final depth-to-space.
+
+    Returns the grouped-conv output (N, H, W, 4C) in the c-major layout
+    c*4 + (p*2+q). Per-pixel consumers that reduce over channels (the
+    semantic argmax/score decode) can run directly in this domain and
+    interleave their tiny results instead — the full-size depth-to-space
+    copies of the C-channel map disappear (round-3 roadmap: ~2 copies of
+    the full-res head per x2 stage). `depth_to_space` completes the
+    upsample exactly when the interleaved map is needed.
+    """
     n, h, w, c = x.shape
     kp = polyphase_kernels(kernel).astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x,
         kp,
         window_strides=(1, 1),
@@ -87,7 +105,12 @@ def upsample2x_depthwise_polyphase(
         feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    # depth-to-space: (N, H, W, C*4) -> (N, 2H, 2W, C)
+
+
+def depth_to_space(y: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C*4) in c*4+(p*2+q) layout -> (N, 2H, 2W, C)."""
+    n, h, w, c4 = y.shape
+    c = c4 // 4
     y = y.reshape(n, h, w, c, 2, 2)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))
     return y.reshape(n, 2 * h, 2 * w, c)

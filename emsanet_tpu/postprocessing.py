@@ -64,6 +64,37 @@ def postprocess_semantic(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"segmentation_idx": idx, "score": score}
 
 
+def postprocess_semantic_polyphase(y4c: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Semantic decode in the deferred polyphase-upsample domain.
+
+    y4c: (N, H/2, W/2, 4C) — the final head x2 stage WITHOUT its
+    depth-to-space (ops/polyphase_upsample.py, layout c*4 + (p*2+q)).
+    The per-pixel argmax/score reductions commute with the interleave,
+    so they run at half resolution over C and only the tiny idx/score
+    maps get interleaved — the full-size C-channel depth-to-space copies
+    (2 per x2 stage in the compiled HLO) never materialize. Bitwise the
+    same results as `postprocess_semantic(depth_to_space(y4c))`.
+    """
+    n, h2, w2, c4 = y4c.shape
+    c = c4 // 4
+    y = y4c.reshape(n, h2, w2, c, 2, 2)  # [..., class, p, q]
+    idx = jnp.argmax(y, axis=3).astype(jnp.int32)  # (N, H/2, W/2, 2, 2)
+    mx = jnp.max(y, axis=3)
+    sumexp = jnp.sum(
+        jnp.exp((y - mx[:, :, :, None]).astype(jnp.float32)), axis=3
+    )
+    score = 1.0 / sumexp
+
+    def interleave(a):  # (N, H/2, W/2, 2, 2) -> (N, H, W)
+        a = jnp.transpose(a, (0, 1, 3, 2, 4))
+        return a.reshape(n, 2 * h2, 2 * w2)
+
+    return {
+        "segmentation_idx": interleave(idx),
+        "score": interleave(score),
+    }
+
+
 # ---------------------------------------------------------------------------
 # instance
 
@@ -451,7 +482,14 @@ def postprocess(
     semantic_full = None
     semantic_score = None
     if "semantic" in outputs:
-        sem = postprocess_semantic(outputs["semantic"]["logits"])
+        if "logits_polyphase" in outputs["semantic"]:
+            # fused-inference deferred-interleave head (decoder left the
+            # final x2 stage in the polyphase domain)
+            sem = postprocess_semantic_polyphase(
+                outputs["semantic"]["logits_polyphase"]
+            )
+        else:
+            sem = postprocess_semantic(outputs["semantic"]["logits"])
         results["semantic_segmentation_idx"] = sem["segmentation_idx"]
         results["semantic_segmentation_score"] = sem["score"]
         semantic_full = sem["segmentation_idx"] + 1  # -> full label space

@@ -83,3 +83,83 @@ def test_fused_init_param_tree_identical():
     assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
     for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_deferred_interleave_semantic_decode_exact():
+    """Deferred-interleave head + polyphase-domain semantic decode is
+    bitwise-equivalent to interleave-then-decode (round-3 roadmap:
+    removes the full-size depth-to-space copies of the C-channel head)."""
+    from emsanet_tpu.postprocessing import (
+        postprocess_semantic,
+        postprocess_semantic_polyphase,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 60, 80, 40), jnp.float32)
+    mod = PredictionUpsampling()
+    v = mod.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape), a.dtype), v
+    )
+    full = PredictionUpsampling(fused=True).apply(v, x)
+    assert full.shape == (2, 240, 320, 40)
+    want = jax.device_get(postprocess_semantic(full))
+
+    deferred = PredictionUpsampling(fused=True, defer_final=True).apply(v, x)
+    assert deferred.shape == (2, 120, 160, 160)
+    got = jax.device_get(postprocess_semantic_polyphase(deferred))
+
+    np.testing.assert_array_equal(
+        np.asarray(want["segmentation_idx"]),
+        np.asarray(got["segmentation_idx"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(want["score"]), np.asarray(got["score"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_deferred_interleave_depth_to_space_roundtrip():
+    from emsanet_tpu.ops.polyphase_upsample import (
+        depth_to_space,
+        upsample2x_depthwise_polyphase,
+        upsample2x_depthwise_polyphase_deferred,
+    )
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 10, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, 5), jnp.float32)
+    full = upsample2x_depthwise_polyphase(x, k)
+    deferred = upsample2x_depthwise_polyphase_deferred(x, k)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(deferred)), np.asarray(full)
+    )
+
+
+def test_deferred_head_falls_back_at_small_sizes():
+    """At sizes below the polyphase threshold the semantic decoder still
+    emits interleaved 'logits' (postprocess key contract unchanged)."""
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet, init_model
+
+    cfg = EMSANetConfig(
+        model=ModelConfig(
+            tasks=("semantic",), input_height=96, input_width=128,
+            rgb_encoder_backbone="resnet18",
+            depth_encoder_backbone="resnet18",
+            fused_inference=True,
+        ),
+        data=DataConfig(dataset="synthetic"),
+    ).validate()
+    ds = get_dataset_config(cfg.data)
+    model = EMSANet(cfg=cfg.model, dataset_config=ds)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    out = model.apply(
+        variables,
+        {"rgb": jnp.zeros((1, 96, 128, 3)),
+         "depth": jnp.zeros((1, 96, 128, 1))},
+        train=False,
+    )
+    assert "logits" in out["semantic"]
+    assert "logits_polyphase" not in out["semantic"]
