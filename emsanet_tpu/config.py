@@ -173,6 +173,23 @@ class ModelConfig:
     # that keep the feature map in VMEM across blocks (ops/nbt1d_chain.py).
     # No effect on the param tree or the training path.
     fused_inference: bool = False
+    # TRAIN-mode fused NBt1D conv-pair kernels with custom VJP
+    # (ops/nbt1d_train.py): stride-1 chain tails run as fused
+    # conv3x1+relu+conv1x3 Pallas kernels with in-kernel BN batch-stat
+    # partials and a recompute-in-VMEM backward. Exact forward/grad
+    # semantics at dropout_p=0; with dropout the mask stream differs
+    # from the unfused path (same distribution). Param/stat trees are
+    # unchanged; the train step merges sowed BN updates ('fused_bn'
+    # collection). Off by default.
+    fused_training: bool = False
+    # run the learned-3x3-zeropad x2 upsamplings in their exact polyphase
+    # form during TRAINING as well (ops/polyphase_upsample.py): same math
+    # (grouped conv at input resolution + depth-to-space, fully
+    # differentiable), but the 4x-size nearest-upsampled intermediates
+    # never materialize in the forward or backward HLO. Off by default to
+    # keep the round-2 "fused flags don't touch the training graph"
+    # invariant unless explicitly requested.
+    train_polyphase_upsampling: bool = False
 
     @property
     def instance_normalized_offset(self) -> bool:

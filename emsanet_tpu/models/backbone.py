@@ -121,6 +121,7 @@ class ResNetStage(nn.Module):
     normalization: str = "batchnorm"
     activation: str = "relu"
     fused_inference: bool = False
+    fused_training: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +149,7 @@ class ResNetStage(nn.Module):
                 self, blocks, strides, x,
                 train=train, deterministic=deterministic,
                 fused=self.fused_inference,
+                fused_train=self.fused_training,
             )
         for i, b in enumerate(blocks):
             x = b(x, train=train, deterministic=deterministic)
@@ -168,6 +170,7 @@ def make_backbone_stages(
     name_prefix: str,
     remat: bool = False,
     fused_inference: bool = False,
+    fused_training: bool = False,
 ):
     """Build (stem, [stage0..stage3]) submodules for a backbone.
 
@@ -200,6 +203,7 @@ def make_backbone_stages(
             normalization=normalization,
             activation=activation,
             fused_inference=fused_inference,
+            fused_training=fused_training,
             dtype=dtype,
             name=f"{name_prefix}_stage{i}",
         )

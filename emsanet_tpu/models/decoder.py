@@ -81,6 +81,8 @@ class DecoderModule(nn.Module):
     activation: str = "relu"
     zero_init_residual: bool = True
     fused_inference: bool = False
+    fused_training: bool = False
+    train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +118,7 @@ class DecoderModule(nn.Module):
             self, blocks, [1] * self.n_blocks, x,
             train=train, deterministic=deterministic,
             fused=self.fused_inference,
+            fused_train=self.fused_training,
         )
 
         side = None
@@ -126,6 +129,7 @@ class DecoderModule(nn.Module):
             )(x)
 
         x = Upsampling(self.upsampling, fused=self.fused_inference,
+                       train_polyphase=self.train_polyphase,
                        dtype=self.dtype, name="upsample")(x, train=train)
         if skips is not None:
             x = EncoderDecoderFusion(
@@ -149,13 +153,16 @@ class PredictionUpsampling(nn.Module):
     # leave the final x2 stage in the polyphase (pre-interleave) domain
     # when the fused path triggers; caller detects by channel count
     defer_final: bool = False
+    train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Upsampling(self.method, fused=self.fused, dtype=self.dtype,
-                       name="up0")(x, train=train)
         x = Upsampling(self.method, fused=self.fused,
+                       train_polyphase=self.train_polyphase,
+                       dtype=self.dtype, name="up0")(x, train=train)
+        x = Upsampling(self.method, fused=self.fused,
+                       train_polyphase=self.train_polyphase,
                        defer_interleave=self.defer_final, dtype=self.dtype,
                        name="up1")(x, train=train)
         return x
@@ -191,6 +198,8 @@ class DenseDecoder(nn.Module):
     n_channels_per_task: int = 32
     remat: bool = False
     fused_inference: bool = False
+    fused_training: bool = False
+    train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
     def _head_out_channels(self) -> int:
@@ -232,6 +241,8 @@ class DenseDecoder(nn.Module):
                 activation=self.activation,
                 zero_init_residual=self.zero_init_residual,
                 fused_inference=self.fused_inference,
+                fused_training=self.fused_training,
+                train_polyphase=self.train_polyphase,
                 dtype=self.dtype,
                 name=f"module{i}",
             )(
@@ -276,6 +287,7 @@ class DenseDecoder(nn.Module):
         n_head = pred.shape[-1]
         pred = PredictionUpsampling(
             self.prediction_upsampling, fused=self.fused_inference,
+            train_polyphase=self.train_polyphase,
             # only the semantic head's consumers (argmax/score) commute
             # with the interleave; instance postprocessing (spatial NMS,
             # offset grouping) needs real full-res maps

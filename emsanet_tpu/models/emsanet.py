@@ -66,6 +66,8 @@ class EMSANet(nn.Module):
                     task="semantic",
                     remat=cfg.remat,
                     fused_inference=cfg.fused_inference,
+                    fused_training=cfg.fused_training,
+                    train_polyphase=cfg.train_polyphase_upsampling,
                     n_channels=cfg.semantic_decoder_n_channels,
                     downsamplings=cfg.semantic_decoder_downsamplings,
                     block=cfg.semantic_decoder_block,
@@ -99,6 +101,8 @@ class EMSANet(nn.Module):
                     task="instance",
                     remat=cfg.remat,
                     fused_inference=cfg.fused_inference,
+                    fused_training=cfg.fused_training,
+                    train_polyphase=cfg.train_polyphase_upsampling,
                     n_channels=cfg.instance_decoder_n_channels,
                     downsamplings=cfg.instance_decoder_downsamplings,
                     block=cfg.instance_decoder_block,
@@ -135,6 +139,8 @@ class EMSANet(nn.Module):
                     task="normal",
                     remat=cfg.remat,
                     fused_inference=cfg.fused_inference,
+                    fused_training=cfg.fused_training,
+                    train_polyphase=cfg.train_polyphase_upsampling,
                     n_channels=cfg.normal_decoder_n_channels,
                     downsamplings=cfg.normal_decoder_downsamplings,
                     block=cfg.normal_decoder_block,

@@ -92,6 +92,7 @@ class FusedEncoder(nn.Module):
                 name_prefix=prefix,
                 remat=cfg.remat,
                 fused_inference=cfg.fused_inference,
+                fused_training=cfg.fused_training,
             )
             return spec, stem, stages
 

@@ -308,6 +308,7 @@ def apply_blocks_maybe_fused(
     train: bool,
     deterministic: bool,
     fused: bool,
+    fused_train: bool = False,
 ) -> jnp.ndarray:
     """Run a residual-block sequence, fusing the stride-1 NBt1D tail.
 
@@ -347,6 +348,11 @@ def apply_blocks_maybe_fused(
         and deterministic
         and not mdl.is_initializing()
     )
+    use_fused_train = (
+        fused_train
+        and train
+        and not mdl.is_initializing()
+    )
     for b in blocks[:tail_start]:
         x = b(x, train=train, deterministic=deterministic)
     tail = blocks[tail_start:]
@@ -362,9 +368,76 @@ def apply_blocks_maybe_fused(
         bp = [v["params"][b.name] for b in tail]
         bs = [v["batch_stats"][b.name] for b in tail]
         return nbt1d_chain(x, stack_chain_params(bp, bs))
+    if use_fused_train and c == tail[0].features:
+        from emsanet_tpu.ops.nbt1d_train import pairs_supported
+
+        if pairs_supported(h, w, c):
+            return _apply_tail_fused_train(mdl, tail, x, deterministic)
     for b in tail:
         x = b(x, train=train, deterministic=deterministic)
     return x
+
+
+def _apply_tail_fused_train(mdl, tail, x, deterministic):
+    """Run a stride-1 NBt1D tail through the train-mode pair kernels.
+
+    Forward/grad semantics match the per-block flax path exactly at
+    dropout_p=0 (tests/test_nbt1d_train.py); with dropout the mask
+    stream differs from the unfused path (same distribution; drawn from
+    the module's 'dropout' rng). BN running-stat updates cannot be
+    written into the child BatchNorm scopes from here, so they are sowed
+    into the 'fused_bn' collection and grafted onto `batch_stats` by
+    `emsanet_tpu.ops.nbt1d_train.merge_fused_bn_updates` (the train step
+    does this; callers that mutate only ['batch_stats'] silently lose
+    the updates, hence train steps must request both collections).
+    """
+    from emsanet_tpu.ops.nbt1d_train import (
+        chain_train,
+        stack_chain_train_params,
+    )
+
+    v = mdl.variables
+    bp = [v["params"][b.name] for b in tail]
+    bs = [v["batch_stats"][b.name] for b in tail]
+    dropout_p = tail[0].dropout_p
+    assert all(b.dropout_p == dropout_p for b in tail)
+    rng = None
+    if dropout_p > 0.0 and not deterministic and mdl.has_rng("dropout"):
+        rng = mdl.make_rng("dropout")
+        out, bmean, bvar = chain_train(
+            x, stack_chain_train_params(bp),
+            dropout_p=dropout_p, dropout_rng=rng,
+        )
+    else:
+        out, bmean, bvar = chain_train(x, stack_chain_train_params(bp))
+
+    momentum = 0.9  # Norm/BatchNorm momentum (this file)
+    updates = {}
+    for i, b in enumerate(tail):
+        bn1 = bs[i]["Norm_0"]["BatchNorm_0"]
+        new1 = {
+            "mean": momentum * bn1["mean"] + (1 - momentum) * bmean[i, 0],
+            "var": momentum * bn1["var"] + (1 - momentum) * bvar[i, 0],
+        }
+        if "Norm_1" in bp[i]:
+            bn2 = bs[i]["Norm_1"]["BatchNorm_0"]
+            second = lambda leaf: {"Norm_1": {"BatchNorm_0": leaf}}
+        else:
+            bn2 = bs[i]["BatchNorm_0"]
+            second = lambda leaf: {"BatchNorm_0": leaf}
+        new2 = {
+            "mean": momentum * bn2["mean"] + (1 - momentum) * bmean[i, 1],
+            "var": momentum * bn2["var"] + (1 - momentum) * bvar[i, 1],
+        }
+        updates[b.name] = {
+            "Norm_0": {"BatchNorm_0": new1},
+            **second(new2),
+        }
+    mdl.sow(
+        "fused_bn", f"updates_{tail[0].name}", {"__bn_updates__": updates},
+        init_fn=lambda: None, reduce_fn=lambda prev, new: new,
+    )
+    return out
 
 
 BLOCK_CLASSES = {

@@ -76,6 +76,9 @@ class Upsampling(nn.Module):
     # the interleaved (N, 2H, 2W, C) result when the polyphase path does
     # not trigger — callers detect which by the channel count.
     defer_interleave: bool = False
+    # allow the exact polyphase form in train mode too (differentiable;
+    # ModelConfig.train_polyphase_upsampling)
+    train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -96,8 +99,10 @@ class Upsampling(nn.Module):
             h, w = x.shape[1], x.shape[2]
             if (
                 method == "learned-3x3-zeropad"
-                and self.fused
-                and not train  # contract: fused path is inference-only
+                and (
+                    (self.fused and not train)
+                    or (self.train_polyphase and train)
+                )
                 and h * w >= 60 * 80
                 and not self.is_initializing()
             ):
@@ -110,7 +115,7 @@ class Upsampling(nn.Module):
                 # dtype and cast to x.dtype only at conv time (matches
                 # nn.Conv's promotion to within rounding).
                 kernel = self.variables["params"]["depthwise"]["kernel"]
-                if self.defer_interleave:
+                if self.defer_interleave and not train:
                     return upsample2x_depthwise_polyphase_deferred(x, kernel)
                 return upsample2x_depthwise_polyphase(x, kernel)
             up = nearest_x2(x)

@@ -63,10 +63,19 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate_state(state, mesh: Mesh):
-    """Replicate the train state across the mesh."""
+    """Replicate the train state across the mesh.
+
+    Returns fresh buffers: a plain `device_put` may alias the source
+    array's buffer for the shard that already sits on the right device,
+    and the donated parallel train step (`make_parallel_train_step`,
+    donate_argnums=0) would then delete the CALLER's original arrays —
+    "Array has been deleted" on next use. A jitted identity with
+    out_shardings never aliases its inputs.
+    """
     sharding = NamedSharding(mesh, P())
+    copy = jax.jit(lambda x: x, out_shardings=sharding)
     return jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") else x,
+        lambda x: copy(jnp.asarray(x)) if hasattr(x, "ndim") else x,
         state,
     )
 

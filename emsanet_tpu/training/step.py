@@ -224,7 +224,10 @@ def make_train_step(
             {"params": params, "batch_stats": batch_stats},
             batch,
             train=True,
-            mutable=["batch_stats"],
+            # 'fused_bn' carries BN running-stat updates from the fused
+            # train-mode chain kernels (ModelConfig.fused_training); it
+            # stays empty on the unfused path
+            mutable=["batch_stats", "fused_bn"],
             rngs={"dropout": dropout_rng},
         )
         losses = compute_losses(
@@ -242,7 +245,12 @@ def make_train_step(
             instance_center_loss=cfg.train.instance_center_loss,
         )
         total = loss_weighting.reduce_losses(losses)
-        return total, (losses, mutated["batch_stats"])
+        from emsanet_tpu.ops.nbt1d_train import merge_fused_bn_updates
+
+        new_stats = merge_fused_bn_updates(
+            mutated["batch_stats"], mutated.get("fused_bn")
+        )
+        return total, (losses, new_stats)
 
     def train_step(state: TrainState, batch, dropout_rng):
         (total, (losses, new_batch_stats)), grads = jax.value_and_grad(

@@ -14,9 +14,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This box has ONE schedulable core. XLA:CPU collectives rendezvous with a
+# hardcoded 40 s termination timeout; 8 per-device threads time-sharing one
+# core can miss it under load, and XLA then F-aborts the whole process
+# (rendezvous.cc "Exiting to ensure a consistent program state"), which
+# killed full-suite runs at random mesh tests. Raise both timeouts.
+if "collective_call_terminate_timeout" not in flags:
+    flags = (
+        flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -136,6 +136,56 @@ def test_deferred_interleave_depth_to_space_roundtrip():
     )
 
 
+def test_train_polyphase_matches_baseline_forward_and_grad():
+    """train_polyphase=True must be the exact training graph: same
+    forward values AND same gradients (wrt input and the depthwise
+    kernel) as the nearest-x2 + conv path. The polyphase form is an
+    algebraic refactoring (ops/polyphase_upsample.py docstring), so any
+    drift here is a bug, not tolerance."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 60, 80, 12), jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, 1, 12), jnp.float32)
+    cot = jnp.asarray(rng.randn(2, 120, 160, 12), jnp.float32)
+
+    def run(mod):
+        def loss(params, x):
+            out = mod.apply({"params": params}, x, train=True)
+            return (out * cot).sum(), out
+
+        (val, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )({"depthwise": {"kernel": kernel}}, x)
+        return out, grads
+
+    ref_out, (ref_gk, ref_gx) = run(Upsampling("learned-3x3-zeropad"))
+    out, (gk, gx) = run(
+        Upsampling("learned-3x3-zeropad", train_polyphase=True)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gk["depthwise"]["kernel"]),
+        np.asarray(ref_gk["depthwise"]["kernel"]), atol=1e-3, rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_train_polyphase_never_defers_interleave():
+    """defer_interleave is an inference-decode contract; in train mode the
+    polyphase path must still return the interleaved (N,2H,2W,C) map."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 60, 80, 4), jnp.float32)
+    v = {"params": {"depthwise": {"kernel": jnp.asarray(
+        rng.randn(3, 3, 1, 4), jnp.float32)}}}
+    mod = Upsampling("learned-3x3-zeropad", train_polyphase=True,
+                     defer_interleave=True)
+    out = mod.apply(v, x, train=True)
+    assert out.shape == (1, 120, 160, 4)
+    ref = Upsampling("learned-3x3-zeropad").apply(v, x, train=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_deferred_head_falls_back_at_small_sizes():
     """At sizes below the polyphase threshold the semantic decoder still
     emits interleaved 'logits' (postprocess key contract unchanged)."""

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--runs", type=int, default=30)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--fused-training", action="store_true",
+                    help="fused NBt1D conv-pair train kernels "
+                    "(ops/nbt1d_train.py)")
+    ap.add_argument("--train-polyphase", action="store_true",
+                    help="exact polyphase form for learned-3x3 x2 "
+                    "upsamplings in the train graph")
     ap.add_argument("--with-loader", action="store_true",
                     help="also measure overlapped loader+step delivered "
                     "img/s (end-to-end, not step-only)")
@@ -53,6 +59,8 @@ def main():
             depth_encoder_backbone="resnet34",
             compute_dtype=args.dtype,
             remat=args.remat,
+            fused_training=args.fused_training,
+            train_polyphase_upsampling=args.train_polyphase,
         ),
         data=DataConfig(dataset="synthetic", batch_size=args.batch,
                         worker_mode=args.worker_mode,
