@@ -51,6 +51,11 @@ from emsanet_tpu.ops.nbt1d_chain import _merge_c64
 # merge (exactly-equivalent C=128 chain, ops/nbt1d_chain.py::_merge_c64)
 SUPPORTED_CHANNELS = (64, 128, 256)
 _VMEM_BUDGET = 9 * 1024 * 1024
+# profitability gate for the model integration (pairs_supported): only
+# fuse chains whose spatial size is large enough to be bandwidth-bound —
+# measured on v5e (tools/pair_bench.py). Tests set this to 0 to exercise
+# the fused path at tiny CPU-compile-friendly shapes.
+MIN_PIXELS = 16384
 
 
 def _pick_tile(h: int, w: int, c: int, itemsize: int, halo: int,
@@ -86,12 +91,19 @@ def _tap(x, w):
 
 
 def _wgrad(x, g):
-    """Σ_pixels x^T g -> (C, C) MXU matmul, >=f32 accumulation."""
+    """Σ_pixels x^T g -> (C, C) MXU matmul, >=f32 accumulation.
+
+    Collapses (R, W) to one pixel dim first: Mosaic's tpu.matmul cannot
+    lower a dot_general with two lhs contracting dims ("rwc,rwo->co"
+    verifies in interpret mode but fails 'lhs contracting dims must be
+    of size 1' on the real TPU)."""
     precision = (
         jax.lax.Precision.HIGHEST if x.dtype != jnp.bfloat16 else None
     )
+    c = x.shape[-1]
+    o = g.shape[-1]
     return jnp.einsum(
-        "rwc,rwo->co", x, g,
+        "pc,po->co", x.reshape(-1, c), g.reshape(-1, o),
         preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         precision=precision,
     )
@@ -581,7 +593,18 @@ def _bn_affine(gamma, beta, sums, count, eps):
 
 
 def pairs_supported(h: int, w: int, c: int) -> bool:
-    """Whether the train pair kernels handle this chain shape."""
+    """Whether the train pair kernels handle this chain shape AND win.
+
+    Shape support: C in {64, 128, 256} (64 rides the pixel-pair merge).
+    Profitability: per-site v5e A/B (tools/pair_bench.py, b8 bf16) shows
+    the pair kernels win only where the tensors are large enough to be
+    bandwidth-bound — C=64 @120x160: fwd 0.76 vs 2.62 ms, fwd+bwd 4.8 vs
+    12.0 ms; but at C=128 @60x80 and C=256 @30x40 the custom backward
+    LOSES to XLA (2.1 vs 1.8 / 2.5 vs 1.8 ms) — per-grid-step overheads
+    dominate small tiles. Gate on spatial size: >= 16384 pixels keeps
+    the winning flagship site (19200 px) and scales to higher input
+    resolutions where deeper stages become bandwidth-bound too.
+    """
     if c not in SUPPORTED_CHANNELS:
         return False
     if c == 64:
@@ -589,7 +612,7 @@ def pairs_supported(h: int, w: int, c: int) -> bool:
             return False
     elif w % 8 != 0:
         return False
-    return h >= 8
+    return h >= 8 and h * w >= MIN_PIXELS
 
 
 def chain_train(

@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "in the backward pass (trades ~1.3x FLOPs for "
                    "activation HBM traffic; the b8 train step is "
                    "HBM-roofline-bound at ~119 GB/step without it)")
+    g.add_argument("--fused-training", action="store_true",
+                   help="TPU-native extension: fused NBt1D conv-pair "
+                   "Pallas train kernels with custom VJP on the "
+                   "bandwidth-bound chain sites (ops/nbt1d_train.py; "
+                   "v5e b8 measured 102.8 -> 87.2 ms/step)")
     g.add_argument("--rgb-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--depth-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--rgbd-encoder-backbone-pretrained-weights-filepath")

@@ -229,7 +229,12 @@ def test_fused_training_model_equivalence():
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
     from emsanet_tpu.datasets.registry import get_dataset_config
     from emsanet_tpu.models import EMSANet, init_model
+    from emsanet_tpu.ops import nbt1d_train
     from emsanet_tpu.ops.nbt1d_train import merge_fused_bn_updates
+
+    # the profitability gate (MIN_PIXELS, sized on v5e) would skip fusion
+    # at these tiny CPU-compile-friendly shapes; force the fused path
+    nbt1d_train.MIN_PIXELS = 0
 
     common = dict(
         tasks=("semantic",),
