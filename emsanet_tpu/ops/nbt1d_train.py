@@ -53,9 +53,14 @@ SUPPORTED_CHANNELS = (64, 128, 256)
 _VMEM_BUDGET = 9 * 1024 * 1024
 # profitability gate for the model integration (pairs_supported): only
 # fuse chains whose spatial size is large enough to be bandwidth-bound —
-# measured on v5e (tools/pair_bench.py). Tests set this to 0 to exercise
-# the fused path at tiny CPU-compile-friendly shapes.
-MIN_PIXELS = 16384
+# measured on v5e (tools/pair_bench.py, b8 bf16, clamped-DMA kernels):
+# C=64 @120x160 grad 3.52 vs 9.36 ms flax; C=128 @60x80 grad 1.75 vs
+# 1.84 (flipped to a win once the XLA row-pad round trips were removed);
+# C=256 @30x40 still loses (0.81 vs ~sub-ms flax) — per-grid-step
+# overheads dominate tiles that small, so wide chains need 4x the
+# pixels. Tests set this to 0 to exercise the fused path at tiny
+# CPU-compile-friendly shapes.
+MIN_PIXELS = 4800
 
 
 def _pick_tile(h: int, w: int, c: int, itemsize: int, halo: int,
@@ -117,6 +122,43 @@ def _shift_rows(x, d):
     return jnp.concatenate([x[1:], zero], axis=0)
 
 
+def _shift_rows_by(x, d: int):
+    """out[r] = x[r+d], zero-filled past either end (static d)."""
+    if d == 0:
+        return x
+    zeros = jnp.zeros_like(x[: abs(d)])
+    if d > 0:
+        return jnp.concatenate([x[d:], zeros], axis=0)
+    return jnp.concatenate([zeros, x[:d]], axis=0)
+
+
+def _clamped_start(t_idx, tile_h: int, halo: int, window: int, img_h: int):
+    """In-bounds DMA start for the window [t*tile_h - halo, ... + window).
+
+    Row-padding the inputs in XLA costs a full extra HBM round trip per
+    tensor per pair call (~1.8 ms/step of the round-2 backward, CLAUDE.md
+    roadmap). Instead the kernel DMAs a clamped in-bounds window from the
+    UNPADDED tensor and realigns it in VMEM (`_realign`): rows that fall
+    outside the clamped window are exactly the out-of-image rows, which
+    every consumer already masks to zero (img/rim masks).
+    """
+    want = t_idx * tile_h - halo
+    return jnp.clip(want, 0, img_h - window)
+
+
+def _realign(buf, shift, halo: int):
+    """buf[j] = src[start_c + j] -> out[j] = src[start_c + shift + j].
+
+    shift in [-halo, halo] (traced); out-of-window rows are zero-filled —
+    by construction those are out-of-image rows (see _clamped_start).
+    """
+    out = buf
+    for d in range(1, halo + 1):
+        out = jnp.where(shift == d, _shift_rows_by(buf, d), out)
+        out = jnp.where(shift == -d, _shift_rows_by(buf, -d), out)
+    return out
+
+
 def _shift_cols(x, d):
     zero = jnp.zeros_like(x[:, :1])
     if d == -1:
@@ -155,7 +197,7 @@ def _prologue(u, s_ref, t_ref, mode, cdtype):
 
 
 def _pair_fwd_kernel(
-    upad_ref,   # (N, H + 2, W, C) HBM — halo DMA source
+    u_ref,      # (N, H + 2, W, C) padded, or (N, H, W, C) clamped — HBM
     s_ref,      # (1, C) f32 VMEM (affine scale; ones for mode='plain')
     t_ref,      # (1, C) f32
     w31_ref,    # (3, C, C) compute dtype
@@ -171,6 +213,7 @@ def _pair_fwd_kernel(
     tile_h: int,
     tiles_per_image: int,
     img_h: int,
+    padded: bool,
 ):
     halo = 1
     r = tile_h + 2 * halo
@@ -180,8 +223,12 @@ def _pair_fwd_kernel(
     def make_dma(step_idx, slot):
         n = step_idx // tiles_per_image
         t = step_idx % tiles_per_image
+        if padded:
+            start = t * tile_h
+        else:
+            start = _clamped_start(t, tile_h, halo, r, img_h)
         return pltpu.make_async_copy(
-            upad_ref.at[n, pl.ds(t * tile_h, r)],
+            u_ref.at[n, pl.ds(start, r)],
             in_buf.at[slot],
             sems.at[slot],
         )
@@ -199,6 +246,11 @@ def _pair_fwd_kernel(
     u = in_buf[step % 2]
     cdtype = u.dtype
     t_idx = step % tiles_per_image
+    if not padded:
+        shift = (t_idx * tile_h - halo) - _clamped_start(
+            t_idx, tile_h, halo, r, img_h
+        )
+        u = _realign(u, shift, halo)
     local = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
     grow = t_idx * tile_h + local - halo
     img_mask = jnp.logical_and(grow >= 0, grow < img_h).astype(cdtype)
@@ -224,8 +276,8 @@ def _pair_fwd_kernel(
 
 
 def _pair_bwd_kernel(
-    upad_ref,   # (N, H + 4, W, C) HBM (halo 2)
-    gypad_ref,  # (N, H + 2, W, C) HBM (halo 1)
+    upad_ref,   # (N, H + 4, W, C) padded, or (N, H, W, C) clamped — HBM
+    gypad_ref,  # (N, H + 2, W, C) padded, or (N, H, W, C) clamped — HBM
     s_ref,      # (1, C) f32
     t_ref,      # (1, C) f32
     w31_ref,    # (3, C, C)
@@ -249,6 +301,7 @@ def _pair_bwd_kernel(
     tile_h: int,
     tiles_per_image: int,
     img_h: int,
+    padded: bool,
 ):
     halo_u, halo_g = 2, 1
     ru = tile_h + 2 * halo_u
@@ -259,16 +312,24 @@ def _pair_bwd_kernel(
     def dma_u(step_idx, slot):
         n = step_idx // tiles_per_image
         t = step_idx % tiles_per_image
+        if padded:
+            start = t * tile_h
+        else:
+            start = _clamped_start(t, tile_h, halo_u, ru, img_h)
         return pltpu.make_async_copy(
-            upad_ref.at[n, pl.ds(t * tile_h, ru)], u_buf.at[slot],
+            upad_ref.at[n, pl.ds(start, ru)], u_buf.at[slot],
             sems_u.at[slot],
         )
 
     def dma_g(step_idx, slot):
         n = step_idx // tiles_per_image
         t = step_idx % tiles_per_image
+        if padded:
+            start = t * tile_h
+        else:
+            start = _clamped_start(t, tile_h, halo_g, rg, img_h)
         return pltpu.make_async_copy(
-            gypad_ref.at[n, pl.ds(t * tile_h, rg)], gy_buf.at[slot],
+            gypad_ref.at[n, pl.ds(start, rg)], gy_buf.at[slot],
             sems_g.at[slot],
         )
 
@@ -289,6 +350,19 @@ def _pair_bwd_kernel(
     gy_in = gy_buf[step % 2]      # (RG, W, C), rows [own - 1, own + 1)
     cdtype = u.dtype
     t_idx = step % tiles_per_image
+    if not padded:
+        u = _realign(
+            u,
+            (t_idx * tile_h - halo_u)
+            - _clamped_start(t_idx, tile_h, halo_u, ru, img_h),
+            halo_u,
+        )
+        gy_in = _realign(
+            gy_in,
+            (t_idx * tile_h - halo_g)
+            - _clamped_start(t_idx, tile_h, halo_g, rg, img_h),
+            halo_g,
+        )
 
     local_u = jax.lax.broadcasted_iota(jnp.int32, (ru, 1, 1), 0)
     grow_u = t_idx * tile_h + local_u - halo_u
@@ -396,21 +470,29 @@ def _should_interpret(interpret: bool) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret")
+    jax.jit, static_argnames=("mode", "interpret", "tile_h")
 )
-def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False):
+def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
+              tile_h=None):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
-    tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 1, 6)
+    if tile_h is None:
+        tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 1, 6)
     tiles = h // tile_h
     r = tile_h + 2
-    upad = jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # clamped-DMA path (no XLA row pad) whenever the halo window fits the
+    # unpadded image; tiny images (tests) fall back to padding
+    padded = r > h
+    upad = (
+        jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0))) if padded else u
+    )
     cdtype = u.dtype
     f32 = jnp.promote_types(cdtype, jnp.float32)
 
     kernel = functools.partial(
         _pair_fwd_kernel,
         mode=mode, tile_h=tile_h, tiles_per_image=tiles, img_h=h,
+        padded=padded,
     )
     y, sums = pl.pallas_call(
         kernel,
@@ -455,26 +537,33 @@ def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret")
+    jax.jit, static_argnames=("mode", "interpret", "tile_h")
 )
 def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
-              interpret=False):
+              interpret=False, tile_h=None):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
-    tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 2, 10)
+    if tile_h is None:
+        tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 2, 10)
     tiles = h // tile_h
     ru = tile_h + 4
     rg = tile_h + 2
-    upad = jnp.pad(u, ((0, 0), (2, 2), (0, 0), (0, 0)))
-    gypad = jnp.pad(
-        gy.astype(u.dtype), ((0, 0), (1, 1), (0, 0), (0, 0))
-    )
+    padded = ru > h
+    if padded:
+        upad = jnp.pad(u, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        gypad = jnp.pad(
+            gy.astype(u.dtype), ((0, 0), (1, 1), (0, 0), (0, 0))
+        )
+    else:
+        upad = u
+        gypad = gy.astype(u.dtype)
     cdtype = u.dtype
     f32 = jnp.promote_types(cdtype, jnp.float32)
 
     kernel = functools.partial(
         _pair_bwd_kernel,
         mode=mode, tile_h=tile_h, tiles_per_image=tiles, img_h=h,
+        padded=padded,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.MemorySpace.VMEM)
     const = lambda *shape: pl.BlockSpec(
@@ -596,14 +685,11 @@ def pairs_supported(h: int, w: int, c: int) -> bool:
     """Whether the train pair kernels handle this chain shape AND win.
 
     Shape support: C in {64, 128, 256} (64 rides the pixel-pair merge).
-    Profitability: per-site v5e A/B (tools/pair_bench.py, b8 bf16) shows
-    the pair kernels win only where the tensors are large enough to be
-    bandwidth-bound — C=64 @120x160: fwd 0.76 vs 2.62 ms, fwd+bwd 4.8 vs
-    12.0 ms; but at C=128 @60x80 and C=256 @30x40 the custom backward
-    LOSES to XLA (2.1 vs 1.8 / 2.5 vs 1.8 ms) — per-grid-step overheads
-    dominate small tiles. Gate on spatial size: >= 16384 pixels keeps
-    the winning flagship site (19200 px) and scales to higher input
-    resolutions where deeper stages become bandwidth-bound too.
+    Profitability: per-site v5e A/B (tools/pair_bench.py, b8 bf16, see
+    MIN_PIXELS above): C=64 and C=128 win at >= 4800 pixels; C=256 loses
+    at 30x40 (per-grid-step overheads dominate small tiles), so wide
+    chains require 4x the pixels — they only become bandwidth-bound at
+    higher input resolutions.
     """
     if c not in SUPPORTED_CHANNELS:
         return False
@@ -612,7 +698,8 @@ def pairs_supported(h: int, w: int, c: int) -> bool:
             return False
     elif w % 8 != 0:
         return False
-    return h >= 8 and h * w >= MIN_PIXELS
+    min_px = MIN_PIXELS * (4 if c >= 256 else 1)
+    return h >= 8 and h * w >= min_px
 
 
 def chain_train(

@@ -101,6 +101,46 @@ def test_pair_grads_match_oracle(mode):
         )
 
 
+@pytest.mark.parametrize("mode", ["plain", "affine"])
+def test_pair_clamped_dma_path_matches_oracle(mode):
+    """Multi-tile images take the clamped-DMA path (no XLA row pad);
+    forcing tile_h=8 on a 32-row image exercises the edge-tile VMEM
+    realignment for forward, backward, and the halo-2 u window."""
+    from emsanet_tpu.ops.nbt1d_train import _pair_bwd, _pair_fwd
+
+    shape = (2, 32, 16, 8)
+    rng = np.random.RandomState(13)
+    u = jnp.asarray(rng.randn(*shape), jnp.float32)
+    p = _rand_pair(rng, shape[-1])
+    args = (u, p["s"], p["t"], p["w31"], p["b31"], p["w13"], p["b13"])
+
+    y, sums = _pair_fwd(*args, mode=mode, interpret=True, tile_h=8)
+    y_ref, sums_ref = _oracle_pair(u, mode=mode, **p)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(sums_ref),
+                               atol=3e-3, rtol=1e-5)
+
+    coty = jnp.asarray(rng.randn(*shape), jnp.float32)
+    cots = jnp.asarray(rng.randn(2, shape[-1]) * 0.01, jnp.float32)
+    grads = _pair_bwd(*args, coty, cots, mode=mode, interpret=True,
+                      tile_h=8)
+
+    def loss_oracle(u, s, t, w31, b31, w13, b13):
+        y, sums = _oracle_pair(u, s, t, w31, b31, w13, b13, mode)
+        return jnp.sum(y * coty) + jnp.sum(sums * cots)
+
+    go = jax.grad(loss_oracle, argnums=tuple(range(7)))(*args)
+    names = ["u", "s", "t", "w31", "b31", "w13", "b13"]
+    for name, a, b in zip(names, grads, go):
+        if mode == "plain" and name in ("s", "t"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-4,
+            err_msg=f"grad {name}",
+        )
+
+
 def _flax_chain(k, c, zero_init=False):
     from emsanet_tpu.models.layers import NonBottleneck1D
 
