@@ -1210,6 +1210,367 @@ def prepare_coco(raw_root, out_dir, splits=("train", "valid"),
     print(f"done: {out_dir} ({n_written} images)")
 
 
+# --------------------------------------------------------------------------
+# SceneNetRGBD
+
+
+def _pb_read_varint(buf, i):
+    shift = result = 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _pb_fields(buf):
+    """Decode one protobuf message into {field_number: [raw values]}.
+
+    Generic wire-format decode (the format itself is a stable public
+    standard): varints stay ints, fixed32/64 stay raw bytes, and
+    length-delimited values stay bytes for the caller to interpret
+    (nested message vs. string). Raises on malformed input, so callers
+    can probe "is this a submessage?" with try/except.
+    """
+    out = {}
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _pb_read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if field == 0:
+            raise ValueError("field 0 is invalid")
+        if wt == 0:
+            val, i = _pb_read_varint(buf, i)
+        elif wt == 1:
+            val = bytes(buf[i:i + 8])
+            i += 8
+        elif wt == 2:
+            ln, i = _pb_read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("length-delimited field overruns buffer")
+            val = bytes(buf[i:i + ln])
+            i += ln
+        elif wt == 5:
+            val = bytes(buf[i:i + 4])
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        if wt in (1, 5) and len(val) < (8 if wt == 1 else 4):
+            raise ValueError("truncated fixed field")
+        out.setdefault(field, []).append(val)
+    return out
+
+
+def _pb_text(val):
+    """bytes -> str if it looks like text, else None."""
+    if not isinstance(val, bytes) or not val:
+        return None
+    try:
+        s = val.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+    if all(32 <= ord(c) < 127 for c in s):
+        return s
+    return None
+
+
+import re as _re
+
+_WNID_RE = _re.compile(r"^\d{8}$")
+_PATH_RE = _re.compile(r"^[\w./-]+$")
+
+# NYU 13-class indoor segmentation (SceneNet's semantic space; the L2
+# `nicr_scene_analysis_datasets` SceneNetRGBD dataset uses these 13
+# classes + void). Order is the standard alphabetical NYU13 order.
+SCENENET_NYU13 = (
+    # (name, is_thing, use_orientations)
+    ("bed", True, False),
+    ("books", True, False),
+    ("ceiling", False, False),
+    ("chair", True, False),
+    ("floor", False, False),
+    ("furniture", True, False),
+    ("objects", True, False),
+    ("picture", True, False),
+    ("sofa", True, False),
+    ("table", True, False),
+    ("tv", True, False),
+    ("wall", False, False),
+    ("window", False, False),
+)
+_NYU13_INDEX = {name: i + 1 for i, (name, _, _) in enumerate(SCENENET_NYU13)}
+
+# WordNet-id -> NYU13 class for common SceneNet furniture wnids. The
+# canonical full table ships with pySceneNetRGBD (not vendorable in this
+# offline environment); `--wnid-map` accepts it as a CSV. Everything not
+# covered falls back to the english-name keyword map below (the .pb
+# carries `semantic_english` alongside the wnid).
+_WNID_TO_NYU13 = {
+    "02818832": "bed",
+    "03001627": "chair",
+    "04256520": "sofa",
+    "04379243": "table",
+    "02933112": "furniture",   # cabinet
+    "03636649": "objects",     # lamp
+    "03938244": "objects",     # pillow
+    "02773838": "objects",     # bag
+}
+
+_ENGLISH_TO_NYU13 = (
+    # (keyword, class); first match wins, matched on word boundaries
+    ("bed", "bed"), ("mattress", "bed"), ("headboard", "bed"),
+    ("book", "books"), ("magazine", "books"),
+    ("ceiling", "ceiling"),
+    ("chair", "chair"), ("stool", "chair"), ("seat", "chair"),
+    ("bench", "chair"),
+    ("floor", "floor"), ("carpet", "floor"), ("rug", "floor"),
+    ("mat", "floor"),
+    ("cabinet", "furniture"), ("cupboard", "furniture"),
+    ("wardrobe", "furniture"), ("dresser", "furniture"),
+    ("shelf", "furniture"), ("shelves", "furniture"),
+    ("bookcase", "furniture"), ("drawer", "furniture"),
+    ("chest", "furniture"), ("nightstand", "furniture"),
+    ("counter", "furniture"), ("furniture", "furniture"),
+    ("picture", "picture"), ("painting", "picture"),
+    ("photo", "picture"), ("poster", "picture"), ("frame", "picture"),
+    ("sofa", "sofa"), ("couch", "sofa"),
+    ("table", "table"), ("desk", "table"),
+    ("tv", "tv"), ("television", "tv"), ("monitor", "tv"),
+    ("screen", "tv"), ("display", "tv"),
+    ("wall", "wall"), ("door", "wall"),
+    ("window", "window"), ("curtain", "window"), ("blind", "window"),
+)
+
+
+def _classify_wnid(wnid, english, wnid_map):
+    if wnid and wnid in wnid_map:
+        name = wnid_map[wnid]
+        return _NYU13_INDEX.get(name, 0)
+    if english:
+        words = _re.split(r"[^a-z]+", english.lower())
+        for kw, cls in _ENGLISH_TO_NYU13:
+            if kw in words:
+                return _NYU13_INDEX[cls]
+    return 0  # void
+
+
+def _parse_scenenet_instance(msg):
+    """(instance_id, wnid, english) from a decoded Instance message.
+
+    pySceneNetRGBD schema (scenenet.proto): instance_id=1,
+    instance_type=2, semantic_wordnet_id=3, semantic_english=4. Fields
+    are found structurally: the lowest-numbered varint is the id, an
+    8-digit string is the wordnet id, any other text is the name — so a
+    re-numbered schema still parses as long as the field kinds exist.
+    """
+    int_fields = sorted(
+        f for f, vals in msg.items()
+        if any(isinstance(v, int) for v in vals)
+    )
+    if not int_fields:
+        return None
+    inst_id = next(
+        v for v in msg[int_fields[0]] if isinstance(v, int)
+    )
+    wnid = english = None
+    for vals in msg.values():
+        for v in vals:
+            s = _pb_text(v)
+            if s is None:
+                continue
+            if _WNID_RE.match(s):
+                wnid = s
+            elif _re.search(r"[a-zA-Z]", s):
+                english = s
+    return inst_id, wnid, english
+
+
+def _parse_scenenet_pb(pb_path):
+    """Yield (render_path, {instance_id: nyu13_class_args}) per trajectory.
+
+    Returns a list of (render_path, [(inst_id, wnid, english), ...]).
+    Trajectories/instances are identified structurally (see
+    `_parse_scenenet_instance`); views (frame poses) carry no text fields
+    and are skipped automatically.
+    """
+    with open(pb_path, "rb") as fh:
+        top = _pb_fields(fh.read())
+    trajectories = []
+    for vals in top.values():
+        for v in vals:
+            if not isinstance(v, bytes):
+                continue
+            try:
+                traj = _pb_fields(v)
+            except ValueError:
+                continue
+            render_path = None
+            instances = []
+            for tvals in traj.values():
+                for tv in tvals:
+                    if not isinstance(tv, bytes):
+                        continue
+                    s = _pb_text(tv)
+                    if s is not None and "/" in s and _PATH_RE.match(s):
+                        render_path = s
+                        continue
+                    try:
+                        sub = _pb_fields(tv)
+                    except ValueError:
+                        continue
+                    if not any(
+                        _pb_text(x) is not None and
+                        _re.search(r"[a-zA-Z0-9]", _pb_text(x))
+                        for xs in sub.values() for x in xs
+                        if isinstance(x, bytes)
+                    ):
+                        continue  # views/poses: no text payload
+                    parsed = _parse_scenenet_instance(sub)
+                    if parsed is not None:
+                        instances.append(parsed)
+            if render_path is not None:
+                trajectories.append((render_path, instances))
+    return trajectories
+
+
+def prepare_scenenetrgbd(raw_root, out_dir, splits=("train", "valid"),
+                         subsample=None, max_trajectories=None,
+                         wnid_map_csv=None):
+    """Convert raw SceneNetRGBD into the prepared layout.
+
+    Reference: the L2 `nicr_sa_prepare_dataset scenenetrgbd` CLI family
+    (SURVEY.md D6; `/root/reference/prepare_datasets.sh` pattern). Raw
+    layout (as distributed by the SceneNet RGB-D project):
+
+      <raw>/<split>/<batch>/<traj>/photo/<frame>.jpg     RGB
+      <raw>/<split>/<batch>/<traj>/depth/<frame>.png     uint16 mm
+      <raw>/<split>/<batch>/<traj>/instance/<frame>.png  uint16 ids
+      <raw>/scenenet_rgbd_<split>.pb                     trajectory meta
+
+    The .pb is protobuf (pySceneNetRGBD's scenenet.proto, whose compiled
+    schema is not vendorable offline) — it is decoded with a generic
+    wire-format reader and structural field identification
+    (`_parse_scenenet_pb`). Per trajectory, instance ids map to NYU13
+    semantic classes via wordnet id (built-in subset or `--wnid-map`
+    CSV rows `wnid,nyu13_name`) with an english-name keyword fallback;
+    unmapped instances become void. Semantic maps are derived as
+    `class_of_instance[instance_map]`; depth (already uint16 mm) and
+    photos are copied through.
+    """
+    import shutil
+
+    from PIL import Image
+
+    wnid_map = dict(_WNID_TO_NYU13)
+    if wnid_map_csv:
+        with open(wnid_map_csv) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                wnid, name = [p.strip() for p in line.split(",")[:2]]
+                wnid_map[wnid] = name
+    split_aliases = {"valid": ("valid", "val"), "train": ("train",),
+                     "test": ("test",)}
+    n_written = 0
+    unmapped = {}
+    for split in splits:
+        pb_path = None
+        raw_split_dir = None
+        for alias in split_aliases.get(split, (split,)):
+            cand = os.path.join(raw_root, f"scenenet_rgbd_{alias}.pb")
+            # train ships sharded: scenenet_rgbd_train_0.pb ...
+            shards = sorted(
+                f for f in os.listdir(raw_root)
+                if f.startswith(f"scenenet_rgbd_{alias}")
+                and f.endswith(".pb")
+            ) if os.path.isdir(raw_root) else []
+            if os.path.isfile(cand):
+                shards = [os.path.basename(cand)]
+            if shards and os.path.isdir(os.path.join(raw_root, alias)):
+                pb_path = [os.path.join(raw_root, s) for s in shards]
+                raw_split_dir = os.path.join(raw_root, alias)
+                break
+        if pb_path is None:
+            print(f"[scenenetrgbd] no .pb + image dir for '{split}'; "
+                  "skipping")
+            continue
+        trajectories = []
+        for p in pb_path:
+            trajectories.extend(_parse_scenenet_pb(p))
+        if max_trajectories:
+            trajectories = trajectories[:max_trajectories]
+        print(f"[scenenetrgbd] {split}: {len(trajectories)} trajectories")
+        for render_path, instances in trajectories:
+            # render_path is '<batch>/<traj>' relative to the split dir
+            traj_dir = os.path.join(raw_split_dir, render_path)
+            photo_dir = os.path.join(traj_dir, "photo")
+            if not os.path.isdir(photo_dir):
+                print(f"  missing {photo_dir}; skipping trajectory")
+                continue
+            # instance-id -> class lookup table
+            max_id = max((i for i, _, _ in instances), default=0)
+            lut = np.zeros(max(max_id + 1, 1), np.uint8)
+            for inst_id, wnid, english in instances:
+                cls = _classify_wnid(wnid, english, wnid_map)
+                if cls == 0:
+                    unmapped[(wnid, english)] = (
+                        unmapped.get((wnid, english), 0) + 1
+                    )
+                if 0 <= inst_id <= max_id:
+                    lut[inst_id] = cls
+            frames = sorted(
+                os.listdir(photo_dir),
+                key=lambda f: int(os.path.splitext(f)[0]),
+            )
+            if subsample:
+                frames = frames[::subsample]
+            sid_prefix = render_path.replace("/", "_")
+            for frame in frames:
+                fid = os.path.splitext(frame)[0]
+                sid = f"{sid_prefix}_{fid}"
+                inst_png = os.path.join(traj_dir, "instance", fid + ".png")
+                depth_png = os.path.join(traj_dir, "depth", fid + ".png")
+                if not (os.path.isfile(inst_png)
+                        and os.path.isfile(depth_png)):
+                    continue
+                dst_rgb = os.path.join(
+                    out_dir, split, "rgb",
+                    sid + os.path.splitext(frame)[1],
+                )
+                os.makedirs(os.path.dirname(dst_rgb), exist_ok=True)
+                shutil.copyfile(os.path.join(photo_dir, frame), dst_rgb)
+                with Image.open(depth_png) as img:
+                    depth = np.asarray(img).astype(np.uint16)
+                _save_png(os.path.join(out_dir, split, "depth",
+                                       sid + ".png"), depth)
+                with Image.open(inst_png) as img:
+                    inst = np.asarray(img).astype(np.int64)
+                semantic = lut[np.clip(inst, 0, max_id)].astype(np.uint8)
+                _save_png(
+                    os.path.join(out_dir, split, "semantic_13",
+                                 sid + ".png"), semantic)
+                _save_png(
+                    os.path.join(out_dir, split, "instance", sid + ".png"),
+                    np.clip(inst, 0, 65535).astype(np.uint16))
+                n_written += 1
+                if n_written % 500 == 0:
+                    print(f"  {n_written} frames written...", flush=True)
+    if unmapped:
+        top = sorted(unmapped.items(), key=lambda kv: -kv[1])[:15]
+        print("[scenenetrgbd] unmapped labels -> void "
+              "(pass --wnid-map to refine):")
+        for (wnid, english), cnt in top:
+            print(f"  {wnid or '--------'} {english or '?'}: {cnt}")
+    write_meta(out_dir, SCENENET_NYU13, ())
+    print(f"done: {out_dir} ({n_written} frames)")
+
+
 def prepare_synthetic(out_dir, n_train, n_test, height, width):
     from emsanet_tpu.datasets.synthetic import SyntheticDataset
 
@@ -1318,6 +1679,19 @@ def main(argv=None):
     p_cs.add_argument("--out", required=True)
     p_cs.add_argument("--max-frames", type=int, default=None)
 
+    p_sn = sub.add_parser("scenenetrgbd")
+    p_sn.add_argument("--raw", required=True,
+                      help="SceneNetRGBD root (train/ val/ dirs + "
+                      "scenenet_rgbd_*.pb trajectory protobufs)")
+    p_sn.add_argument("--out", required=True)
+    p_sn.add_argument("--subsample", type=int, default=None,
+                      help="write every Nth frame per trajectory")
+    p_sn.add_argument("--max-trajectories", type=int, default=None)
+    p_sn.add_argument("--wnid-map", default=None,
+                      help="CSV 'wnid,nyu13_name' rows overriding/extending "
+                      "the built-in WordNet-id mapping (e.g. derived from "
+                      "pySceneNetRGBD)")
+
     p_syn = sub.add_parser("synthetic")
     p_syn.add_argument("--out", required=True)
     p_syn.add_argument("--n-train", type=int, default=16)
@@ -1341,6 +1715,12 @@ def main(argv=None):
         prepare_cityscapes(ns.raw, ns.out, max_frames=ns.max_frames)
     elif ns.dataset == "coco":
         prepare_coco(ns.raw, ns.out, max_frames=ns.max_frames)
+    elif ns.dataset == "scenenetrgbd":
+        prepare_scenenetrgbd(
+            ns.raw, ns.out, subsample=ns.subsample,
+            max_trajectories=ns.max_trajectories,
+            wnid_map_csv=ns.wnid_map,
+        )
     elif ns.dataset == "synthetic":
         prepare_synthetic(ns.out, ns.n_train, ns.n_test, ns.height, ns.width)
     return 0
