@@ -52,15 +52,16 @@ from emsanet_tpu.ops.nbt1d_chain import _merge_c64
 SUPPORTED_CHANNELS = (64, 128, 256)
 _VMEM_BUDGET = 9 * 1024 * 1024
 # profitability gate for the model integration (pairs_supported): only
-# fuse chains whose spatial size is large enough to be bandwidth-bound —
-# measured on v5e (tools/pair_bench.py, b8 bf16, clamped-DMA kernels):
-# C=64 @120x160 grad 3.52 vs 9.36 ms flax; C=128 @60x80 grad 1.75 vs
-# 1.84 (flipped to a win once the XLA row-pad round trips were removed);
-# C=256 @30x40 still loses (0.81 vs ~sub-ms flax) — per-grid-step
-# overheads dominate tiles that small, so wide chains need 4x the
-# pixels. Tests set this to 0 to exercise the fused path at tiny
-# CPU-compile-friendly shapes.
-MIN_PIXELS = 4800
+# fuse chains whose spatial size is large enough to be bandwidth-bound.
+# Standalone site A/Bs (tools/pair_bench.py, b8 bf16, clamped-DMA
+# kernels) read C=128 @60x80 as a marginal win (grad 1.75 vs 1.84 ms
+# flax), but the IN-GRAPH A/B says otherwise: ungating C=128 regressed
+# the full train step 90.6 -> 109.1 ms in one process (train_ab.py
+# --min-pixels 16384 4800) — carving those chains out of XLA breaks
+# surrounding producer/consumer fusions the microbench never sees. Keep
+# only the C=64 @120x160-class sites (>= 16384 px). Tests set this to 0
+# to exercise the fused path at tiny CPU-compile-friendly shapes.
+MIN_PIXELS = 16384
 
 
 def _pick_tile(h: int, w: int, c: int, itemsize: int, halo: int,
@@ -470,10 +471,10 @@ def _should_interpret(interpret: bool) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "tile_h")
+    jax.jit, static_argnames=("mode", "interpret", "tile_h", "force_padded")
 )
 def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
-              tile_h=None):
+              tile_h=None, force_padded=False):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
     if tile_h is None:
@@ -482,7 +483,7 @@ def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
     r = tile_h + 2
     # clamped-DMA path (no XLA row pad) whenever the halo window fits the
     # unpadded image; tiny images (tests) fall back to padding
-    padded = r > h
+    padded = force_padded or r > h
     upad = (
         jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0))) if padded else u
     )
@@ -537,10 +538,10 @@ def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "tile_h")
+    jax.jit, static_argnames=("mode", "interpret", "tile_h", "force_padded")
 )
 def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
-              interpret=False, tile_h=None):
+              interpret=False, tile_h=None, force_padded=False):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
     if tile_h is None:
@@ -548,7 +549,7 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
     tiles = h // tile_h
     ru = tile_h + 4
     rg = tile_h + 2
-    padded = ru > h
+    padded = force_padded or ru > h
     if padded:
         upad = jnp.pad(u, ((0, 0), (2, 2), (0, 0), (0, 0)))
         gypad = jnp.pad(
@@ -619,8 +620,13 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
     return gu, gs[0], gt[0], gw31, gb31[0], gw13, gb13[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def nbt1d_pair(mode, interpret, u, s, t, w31, b31, w13, b13):
+# force the XLA-row-pad kernel variants (A/B knob; read at trace time by
+# chain_train and threaded through as a static arg)
+FORCE_PADDED = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def nbt1d_pair(mode, interpret, force_padded, u, s, t, w31, b31, w13, b13):
     """One fused NBt1D conv pair.
 
     mode='plain':  y = conv1x3(relu(conv3x1(u)))
@@ -631,21 +637,22 @@ def nbt1d_pair(mode, interpret, u, s, t, w31, b31, w13, b13):
     match what the next consumer actually reads).
     """
     return _pair_fwd(u, s, t, w31, b31, w13, b13, mode=mode,
-                     interpret=interpret)
+                     interpret=interpret, force_padded=force_padded)
 
 
-def _pair_vjp_fwd(mode, interpret, u, s, t, w31, b31, w13, b13):
+def _pair_vjp_fwd(mode, interpret, force_padded, u, s, t, w31, b31, w13,
+                  b13):
     out = _pair_fwd(u, s, t, w31, b31, w13, b13, mode=mode,
-                    interpret=interpret)
+                    interpret=interpret, force_padded=force_padded)
     return out, (u, s, t, w31, b31, w13, b13)
 
 
-def _pair_vjp_bwd(mode, interpret, res, cots):
+def _pair_vjp_bwd(mode, interpret, force_padded, res, cots):
     u, s, t, w31, b31, w13, b13 = res
     gy, gsums = cots
     gu, gs, gt, gw31, gb31, gw13, gb13 = _pair_bwd(
         u, s, t, w31, b31, w13, b13, gy, gsums, mode=mode,
-        interpret=interpret,
+        interpret=interpret, force_padded=force_padded,
     )
     if mode == "plain":
         gs = jnp.zeros_like(s)
@@ -784,7 +791,7 @@ def _chain_train_impl(x, stacked, *, dropout_p, dropout_rng, eps,
     xk = x
     for i in range(k):
         p1, sums1 = nbt1d_pair(
-            "plain", interpret, xk, ones, zeros,
+            "plain", interpret, FORCE_PADDED, xk, ones, zeros,
             stacked["w31"][i, 0], stacked["b31"][i, 0],
             stacked["w13"][i, 0], stacked["b13"][i, 0],
         )
@@ -793,7 +800,7 @@ def _chain_train_impl(x, stacked, *, dropout_p, dropout_rng, eps,
             fold_sums(sums1), count, eps,
         )
         p2, sums2 = nbt1d_pair(
-            "affine", interpret, p1, widen(s1), widen(t1),
+            "affine", interpret, FORCE_PADDED, p1, widen(s1), widen(t1),
             stacked["w31"][i, 1], stacked["b31"][i, 1],
             stacked["w13"][i, 1], stacked["b13"][i, 1],
         )

@@ -62,7 +62,7 @@ def test_pair_forward_matches_oracle(mode, shape):
     rng = np.random.RandomState(sum(shape))
     u = jnp.asarray(rng.randn(*shape), jnp.float32)
     p = _rand_pair(rng, shape[-1])
-    y, sums = nbt1d_pair(mode, True, u, p["s"], p["t"], p["w31"],
+    y, sums = nbt1d_pair(mode, True, False, u, p["s"], p["t"], p["w31"],
                          p["b31"], p["w13"], p["b13"])
     y_ref, sums_ref = _oracle_pair(u, mode=mode, **p)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
@@ -81,7 +81,8 @@ def test_pair_grads_match_oracle(mode):
     cots = jnp.asarray(rng.randn(2, shape[-1]) * 0.01, jnp.float32)
 
     def loss_kernel(u, s, t, w31, b31, w13, b13):
-        y, sums = nbt1d_pair(mode, True, u, s, t, w31, b31, w13, b13)
+        y, sums = nbt1d_pair(mode, True, False, u, s, t, w31, b31, w13,
+                             b13)
         return jnp.sum(y * coty) + jnp.sum(sums * cots)
 
     def loss_oracle(u, s, t, w31, b31, w13, b13):

@@ -86,24 +86,47 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=25)
+    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--min-pixels", type=int, nargs="*", default=None,
+                    help="A/B the fused variant at these pairs_supported "
+                    "MIN_PIXELS gates in one process (default: module "
+                    "default only)")
+    ap.add_argument("--ab-padded", action="store_true",
+                    help="for each gate, A/B the XLA-row-pad kernels vs "
+                    "the clamped-DMA kernels in one process")
     args = ap.parse_args()
     n = args.batch
     print(f"device={jax.devices()[0].device_kind} b{n} 480x640 bf16",
           flush=True)
 
     import tools.train_breakdown as tb
+    from emsanet_tpu.ops import nbt1d_train
 
     cfg, model, variables = build(n, 480, 640)
     batch = tb.synth_batch(cfg, n)
-    t_base = time_train("train step (baseline)", cfg, model, variables,
-                        batch, args.runs)
+    t_base = None
+    if not args.skip_baseline:
+        t_base = time_train("train step (baseline)", cfg, model, variables,
+                            batch, args.runs)
 
-    cfg_f, model_f, variables_f = build(n, 480, 640, fused_training=True)
-    t_fused = time_train("train step (fused NBt1D pairs)", cfg_f, model_f,
-                         variables_f, batch, args.runs)
-
-    print(f"speedup: {t_base/t_fused:.3f}x  "
-          f"({t_base*1e3:.1f} -> {t_fused*1e3:.1f} ms)", flush=True)
+    gates = args.min_pixels or [nbt1d_train.MIN_PIXELS]
+    paddings = (True, False) if args.ab_padded else (None,)
+    for gate in gates:
+        nbt1d_train.MIN_PIXELS = gate
+        for pad in paddings:
+            if pad is not None:
+                nbt1d_train.FORCE_PADDED = pad
+            label = f"train step (fused pairs, gate={gate}"
+            if pad is not None:
+                label += f", padded={pad}"
+            cfg_f, model_f, variables_f = build(n, 480, 640,
+                                                fused_training=True)
+            t_fused = time_train(label + ")", cfg_f, model_f,
+                                 variables_f, batch, args.runs)
+            if t_base is not None:
+                print(f"speedup vs baseline: {t_base/t_fused:.3f}x  "
+                      f"({t_base*1e3:.1f} -> {t_fused*1e3:.1f} ms)",
+                      flush=True)
 
 
 if __name__ == "__main__":
