@@ -322,7 +322,9 @@ def apply_blocks_maybe_fused(
     Initialization and training always take the unfused path.
     """
     from emsanet_tpu.ops.nbt1d_chain import (
+        chain_stream_latency,
         chain_supported,
+        chain_supported_latency,
         nbt1d_chain,
         stack_chain_params,
     )
@@ -358,16 +360,21 @@ def apply_blocks_maybe_fused(
     tail = blocks[tail_start:]
     if not tail:
         return x
-    _, h, w, c = x.shape
-    if (
-        use_fused
-        and c == tail[0].features
-        and chain_supported(h, w, c, len(tail))
-    ):
-        v = mdl.variables
-        bp = [v["params"][b.name] for b in tail]
-        bs = [v["batch_stats"][b.name] for b in tail]
-        return nbt1d_chain(x, stack_chain_params(bp, bs))
+    n, h, w, c = x.shape
+    if use_fused and c == tail[0].features:
+        resident = chain_supported(
+            h, w, c, len(tail)
+        ) or chain_supported_latency(n, h, w, c, len(tail))
+        streamed = not resident and chain_stream_latency(
+            n, h, w, c, len(tail)
+        )
+        if resident or streamed:
+            v = mdl.variables
+            bp = [v["params"][b.name] for b in tail]
+            bs = [v["batch_stats"][b.name] for b in tail]
+            return nbt1d_chain(
+                x, stack_chain_params(bp, bs), stream_weights=streamed
+            )
     if use_fused_train and c == tail[0].features:
         from emsanet_tpu.ops.nbt1d_train import pairs_supported
 

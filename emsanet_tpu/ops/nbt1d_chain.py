@@ -43,21 +43,57 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# channel widths where the fused kernel BEAT XLA on the v5e
-# (tools/chain_bench.py, b32 bf16): C=64 via pixel-pair merging 1.64x,
-# C=128 1.17x. C=256 measured ~2x SLOWER (XLA's conv emitter reaches
-# ~60% MXU there and the chains are compute- not bandwidth-bound), and
-# C=512 weight stacks exceed VMEM — both stay on the XLA path.
+# channel widths where the fused kernel BEAT XLA on the v5e at
+# THROUGHPUT batch sizes (tools/chain_bench.py, b32 bf16): C=64 via
+# pixel-pair merging 1.64x, C=128 1.17x. C=256 measured ~2x SLOWER at
+# b32 (XLA's conv emitter reaches ~60% MXU there and the chains are
+# compute- not bandwidth-bound), and C=512 weight stacks exceed VMEM —
+# both stay on the XLA path at large batch. At LATENCY batch sizes the
+# tensors are tiny, the graph is launch-overhead-bound (CLAUDE.md b1
+# analysis: ~3 ms of inter-kernel overhead across hundreds of launches),
+# and collapsing a K-block chain from ~6K kernels to 1 wins regardless
+# of MXU efficiency — so C=256 is additionally enabled below a total
+# spatial-size threshold (chain_supported_latency).
 SUPPORTED_CHANNELS = (64, 128)
+SUPPORTED_CHANNELS_LATENCY = (64, 128, 256)
+# latency-mode gate: total pixels (n*h*w) at or below this take the
+# fused chain even for compute-bound channel widths. DEFAULT 0 = OFF:
+# the hypothesis FAILED the whole-model A/B (tools/latency_ab.py, v5e,
+# one process) — standalone sites break even (C=256@30x40 K=5: 0.27 XLA
+# vs 0.05 chain, rest sub-noise), but fusing all 8 b1 sites made the
+# full forward WORSE: fwd 5.51 -> 6.36 ms, e2e 8.43 -> 9.14 ms. The
+# per-forward weight stacking (in-graph concats/casts per chain) and
+# Pallas custom-call overhead outweigh the ~140 XLA launches removed;
+# XLA pipelines its small kernels better than the launch-count model
+# assumed. Kept as an opt-in (set > 0) because the machinery (C=256
+# resident, C=512 weight-streamed, odd-width col-padding) is exact and
+# may win on other topologies/backends.
+LATENCY_MAX_PIXELS = 0
 # VMEM budget for picking the row-tile size (bytes); leaves headroom for
-# Mosaic temporaries out of the ~16 MB per-core VMEM
+# Mosaic temporaries out of the ~16 MB per-core VMEM. Weight stacks eat
+# into the total separately (_pick_tile_h): small-channel chains keep
+# the full activation budget, wide latency-mode chains trade tile size
+# for weight residency.
 _VMEM_BUDGET = 9 * 1024 * 1024
+_VMEM_TOTAL = 14 * 1024 * 1024
+_WEIGHTS_MAX = 11 * 1024 * 1024
 
 
-def _pick_tile_h(h: int, w: int, c: int, k: int, itemsize: int) -> int:
+def _weight_bytes(c: int, k: int, itemsize: int = 2) -> int:
+    """VMEM held by the K-block weight stack (w31+w13, biases, BN)."""
+    return k * 2 * (2 * 3 * c * c + 4 * c) * itemsize
+
+
+def _pick_tile_h(h: int, w: int, c: int, k: int, itemsize: int,
+                 resident_weights: bool = True) -> int:
     """Largest divisor row-tile of `h` whose working set fits the budget."""
     halo = 2 * k
     best = None
+    held = (
+        _weight_bytes(c, k, itemsize) if resident_weights
+        else 2 * 2 * 3 * c * c * itemsize  # two streamed block slots
+    )
+    budget = min(_VMEM_BUDGET, _VMEM_TOTAL - held)
     for tile in range(h, 0, -1):
         if h % tile:
             continue
@@ -71,7 +107,7 @@ def _pick_tile_h(h: int, w: int, c: int, k: int, itemsize: int) -> int:
             + r * w * c * 4
             + 2 * r * row_bytes
         )
-        if est <= _VMEM_BUDGET:
+        if est <= budget:
             best = tile
             break
     if best is None:
@@ -116,9 +152,15 @@ def _conv3x1(x, w, b, mask):
     return acc + b[None, None, :]
 
 
-def _conv1x3(x, w, b):
+def _conv1x3(x, w, b, col_mask=None):
     """Horizontal 3-tap conv; zero padding at W edges is the true image
-    edge (tiles span full W). Returns f32 (R, W, C)."""
+    edge (tiles span full W). `col_mask` zeroes dead padding columns of
+    the input first (W gets padded up to the sublane tiling when the
+    image width is not a multiple of 8 — Mosaic rejects misaligned HBM
+    slices; earlier blocks leave bias/BN values in the dead columns).
+    Returns f32 (R, W, C)."""
+    if col_mask is not None:
+        x = x * col_mask
     zero = jnp.zeros_like(x[:, :1])
     lf = jnp.concatenate([zero, x[:, :-1]], axis=1)
     rt = jnp.concatenate([x[:, 1:], zero], axis=1)
@@ -129,7 +171,7 @@ def _conv1x3(x, w, b):
 def _chain_kernel(
     # refs
     xpad_ref,  # (N, H + 2*HALO, W, C) in ANY/HBM
-    w31_ref,   # (K, 2, 3, C, C) compute dtype, VMEM
+    w31_ref,   # (K, 2, 3, C, C) compute dtype, VMEM (or HBM if streaming)
     b31_ref,   # (K, 2, C) f32
     w13_ref,   # (K, 2, 3, C, C)
     b13_ref,   # (K, 2, C)
@@ -138,11 +180,13 @@ def _chain_kernel(
     out_ref,   # (1, TILE, W, C) blocked
     in_buf,    # scratch (2, R, W, C)
     sems,      # DMA semaphores (2,)
-    *,
+    *wbufs,    # streaming only: w31_buf, w13_buf (2,3,C,C), sems_w (2,)
     n_blocks: int,
     tile_h: int,
     tiles_per_image: int,
     img_h: int,
+    img_w: int,
+    stream_weights: bool = False,
 ):
     halo = 2 * n_blocks
     r = tile_h + 2 * halo
@@ -171,23 +215,50 @@ def _chain_kernel(
     x = in_buf[step % 2]  # (R, W, C) compute dtype
     cdtype = x.dtype
 
+    if stream_weights:
+        w31_buf, w13_buf, sems_w = wbufs
+
+        def fetch_weights(k):
+            # single-buffered per-block weight DMA (latency sites only:
+            # the ~8 us fetch of a C=512 block is far below the launch
+            # overhead the fusion removes; weight stacks this wide do
+            # not fit VMEM, see _WEIGHTS_MAX)
+            cp31 = pltpu.make_async_copy(
+                w31_ref.at[k], w31_buf, sems_w.at[0])
+            cp13 = pltpu.make_async_copy(
+                w13_ref.at[k], w13_buf, sems_w.at[1])
+            cp31.start()
+            cp13.start()
+            cp31.wait()
+            cp13.wait()
+            return w31_buf, w13_buf
+    else:
+        def fetch_weights(k):
+            return w31_ref[k], w13_ref[k]
+
     # out-of-image row mask: global image row of local row `row` is
     # t*tile_h + row - halo; rows outside [0, img_h) are dead.
     t = step % tiles_per_image
     local = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
     grow = t * tile_h + local - halo
     mask = jnp.logical_and(grow >= 0, grow < img_h).astype(cdtype)
+    w_pad = x.shape[1]
+    col_mask = None
+    if img_w < w_pad:
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, w_pad, 1), 1)
+        col_mask = (cidx < img_w).astype(cdtype)
 
     h = x
     for k in range(n_blocks):
-        y = _conv3x1(h, w31_ref[k, 0], b31_ref[k, 0], mask)
+        w31_k, w13_k = fetch_weights(k)
+        y = _conv3x1(h, w31_k[0], b31_ref[k, 0], mask)
         y = jax.nn.relu(y).astype(cdtype)
-        y = _conv1x3(y, w13_ref[k, 0], b13_ref[k, 0])
+        y = _conv1x3(y, w13_k[0], b13_ref[k, 0], col_mask)
         y = y * s_ref[k, 0][None, None, :] + t_ref[k, 0][None, None, :]
         y = jax.nn.relu(y).astype(cdtype)
-        y = _conv3x1(y, w31_ref[k, 1], b31_ref[k, 1], mask)
+        y = _conv3x1(y, w31_k[1], b31_ref[k, 1], mask)
         y = jax.nn.relu(y).astype(cdtype)
-        y = _conv1x3(y, w13_ref[k, 1], b13_ref[k, 1])
+        y = _conv1x3(y, w13_k[1], b13_ref[k, 1], col_mask)
         y = y * s_ref[k, 1][None, None, :] + t_ref[k, 1][None, None, :]
         h = jax.nn.relu(y + h.astype(jnp.float32)).astype(cdtype)
 
@@ -242,13 +313,14 @@ def _merge_c64(stacked: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "interpret")
+    jax.jit, static_argnames=("tile_h", "interpret", "stream_weights")
 )
 def nbt1d_chain(
     x: jnp.ndarray,
     stacked: Dict[str, jnp.ndarray],
     tile_h: int | None = None,
     interpret: bool = False,
+    stream_weights: bool = False,
 ) -> jnp.ndarray:
     """Run K fused stride-1 NBt1D blocks over x.
 
@@ -257,6 +329,9 @@ def nbt1d_chain(
       w31 (K,2,3,C,C), b31 (K,2,C), w13 (K,2,3,C,C), b13 (K,2,C),
       bn_scale (K,2,C), bn_shift (K,2,C). Weights are cast to x.dtype
       (MXU input); biases/BN stay f32 (accumulator domain).
+    stream_weights: keep the conv weights in HBM and DMA them per block
+      (latency-mode C=512 chains whose weight stacks exceed VMEM; every
+      grid step re-fetches, so this is only gated on for tiny grids).
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # CPU tests exercise the same code path
@@ -271,13 +346,21 @@ def nbt1d_chain(
         return merged.reshape(n, h, w, c)
     k = stacked["w31"].shape[0]
     halo = 2 * k
+    # Mosaic requires HBM slices 8-aligned on the sublane (W) dim even at
+    # full extent (the logical width is padded to the (8,128) tiling);
+    # odd widths (e.g. the 15x20 1/32 maps) get dead padding columns that
+    # the kernel masks at each horizontal conv (col_mask).
+    wp = -(-w // 8) * 8
     if tile_h is None:
-        tile_h = _pick_tile_h(h, w, c, k, jnp.dtype(x.dtype).itemsize)
+        tile_h = _pick_tile_h(
+            h, wp, c, k, jnp.dtype(x.dtype).itemsize,
+            resident_weights=not stream_weights,
+        )
     assert h % tile_h == 0, (h, tile_h)
     tiles = h // tile_h
     r = tile_h + 2 * halo
 
-    xpad = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    xpad = jnp.pad(x, ((0, 0), (halo, halo), (0, wp - w), (0, 0)))
     cdtype = x.dtype
     f32 = jnp.float32
 
@@ -287,29 +370,42 @@ def nbt1d_chain(
         tile_h=tile_h,
         tiles_per_image=tiles,
         img_h=h,
+        img_w=w,
+        stream_weights=stream_weights,
     )
-    return pl.pallas_call(
+    wspace = (
+        pltpu.MemorySpace.HBM if stream_weights
+        else pltpu.MemorySpace.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((2, r, wp, c), cdtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream_weights:
+        scratch += [
+            pltpu.VMEM((2, 3, c, c), cdtype),  # w31 block slot
+            pltpu.VMEM((2, 3, c, c), cdtype),  # w13 block slot
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    out = pl.pallas_call(
         kernel,
         grid=(n * tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # halo DMA source
+            pl.BlockSpec(memory_space=wspace),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=wspace),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w, c),
+            (1, tile_h, wp, c),
             lambda i: (i // tiles, i % tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, r, w, c), cdtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((n, h, wp, c), x.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
         xpad,
@@ -320,6 +416,9 @@ def nbt1d_chain(
         stacked["bn_scale"].astype(f32),
         stacked["bn_shift"].astype(f32),
     )
+    if wp != w:
+        out = out[:, :, :w]
+    return out
 
 
 def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
@@ -383,16 +482,63 @@ def stack_chain_params(
     }
 
 
-def chain_supported(h: int, w: int, c: int, k: int) -> bool:
-    """Whether the fused kernel handles this chain shape."""
-    if c not in SUPPORTED_CHANNELS:
-        return False
+def _chain_shape_ok(h: int, w: int, c: int, k: int,
+                    allow_col_pad: bool = False) -> bool:
     if c == 64:
         # C=64 runs as a pixel-pair-merged C=128 chain (_merge_c64)
         if w % 16 != 0:
             return False
-    elif w % 8 != 0:  # W rides the sublane dimension
+    elif w % 8 != 0 and not allow_col_pad:
+        # W rides the sublane dimension; latency-mode calls pad dead
+        # columns instead (masked in-kernel), throughput calls skip —
+        # their flagship shapes are aligned and the padding waste at
+        # large batch is unmeasured
+        return False
+    # the weight stack must leave VMEM room for the activation tiles
+    if _weight_bytes(max(c, 128), k) > _WEIGHTS_MAX:
+        return False
+    wp = -(-w // 8) * 8
+    return h >= 8 and h % _pick_tile_h(h, wp, c, k, 2) == 0
+
+
+def chain_supported(h: int, w: int, c: int, k: int) -> bool:
+    """Whether the fused kernel handles this chain shape (throughput)."""
+    if c not in SUPPORTED_CHANNELS:
         return False
     if k < 2:  # single blocks: XLA is already at the roofline
         return False
-    return h >= 8 and h % _pick_tile_h(h, w, c, k, 2) == 0
+    return _chain_shape_ok(h, w, c, k)
+
+
+def chain_supported_latency(n: int, h: int, w: int, c: int, k: int) -> bool:
+    """Latency-mode gate: small total spatial size -> fuse wider chains.
+
+    Below LATENCY_MAX_PIXELS the graph is launch-bound, not
+    bandwidth/compute-bound, so C=256 chains (a loss at b32) win by
+    collapsing ~6K kernels into one. K=1 still replaces ~6 launches.
+    """
+    if c not in SUPPORTED_CHANNELS_LATENCY:
+        return False
+    if n * h * w > LATENCY_MAX_PIXELS:
+        return False
+    return _chain_shape_ok(h, w, c, k, allow_col_pad=True)
+
+
+def chain_stream_latency(n: int, h: int, w: int, c: int, k: int) -> bool:
+    """Gate for the weight-streaming variant (latency mode, C=512).
+
+    The C=512 weight stack never fits VMEM, so weights are DMA'd per
+    block per grid step — profitable only when the grid is tiny and the
+    call is launch-bound: the flagship b1 sites are decoder module0 and
+    the encoder stage3 tail at 15x20. Odd widths ride the dead-column
+    padding (masked in-kernel).
+    """
+    if c != 512:
+        return False
+    if n * h * w > LATENCY_MAX_PIXELS // 2:
+        return False
+    wp = -(-w // 8) * 8
+    if wp * c * 2 > 512 * 1024:  # row fits comfortably
+        return False
+    return h >= 4 and h % _pick_tile_h(
+        h, wp, c, k, 2, resident_weights=False) == 0

@@ -91,6 +91,89 @@ def test_chain_supported():
     assert not chain_supported(60, 81, 128, 3)   # W not a multiple of 8
 
 
+def test_chain_k1_latency_numerics():
+    """K=1 chains (allowed only via the latency gate) stay exact."""
+    x, stacked, ref = _make(1, 64, False, (1, 16, 16, 64), seed=5)
+    out = nbt1d_chain(x, stacked, tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_chain_c256_numerics():
+    """C=256 (latency-mode-only channel width) through the same kernel."""
+    x, stacked, ref = _make(2, 256, False, (1, 16, 8, 256), seed=7)
+    out = nbt1d_chain(x, stacked, tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_chain_stream_weights_numerics():
+    """Weight-streaming variant (latency-mode C=512) stays exact; the
+    test uses a small channel width — the DMA bookkeeping is the same."""
+    x, stacked, ref = _make(2, 128, False, (1, 16, 8, 128), seed=11)
+    out = nbt1d_chain(x, stacked, tile_h=8, interpret=True,
+                      stream_weights=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_chain_odd_width_col_padding():
+    """Widths that are not a multiple of 8 (the 15x20 1/32 maps) ride
+    dead padding columns masked at each horizontal conv."""
+    x, stacked, ref = _make(2, 128, False, (1, 16, 20, 128), seed=13)
+    out = nbt1d_chain(x, stacked, tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    out_s = nbt1d_chain(x, stacked, tile_h=8, interpret=True,
+                        stream_weights=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_chain_stream_latency_gate():
+    from emsanet_tpu.ops import nbt1d_chain as nch
+
+    assert not nch.chain_stream_latency(1, 15, 20, 512, 3)  # off: default
+    old = nch.LATENCY_MAX_PIXELS
+    try:
+        nch.LATENCY_MAX_PIXELS = 4800
+        cs = nch.chain_stream_latency
+        assert cs(1, 15, 20, 512, 3)   # dec module0 b1
+        assert cs(1, 15, 20, 512, 2)   # enc stage3 tail b1
+        assert cs(1, 15, 21, 512, 3)   # odd W: col-padded
+        assert not cs(32, 15, 20, 512, 3)  # b32: XLA
+        assert not cs(1, 30, 40, 256, 3)   # 256: resident
+    finally:
+        nch.LATENCY_MAX_PIXELS = old
+
+
+def test_chain_supported_latency():
+    from emsanet_tpu.ops import nbt1d_chain as nch
+
+    # OFF by default: the whole-model A/B measured a loss (see module
+    # comment on LATENCY_MAX_PIXELS)
+    assert not nch.chain_supported_latency(1, 30, 40, 256, 5)
+    old = nch.LATENCY_MAX_PIXELS
+    try:
+        nch.LATENCY_MAX_PIXELS = 4800
+        assert nch.chain_supported_latency(1, 30, 40, 256, 5)
+        assert nch.chain_supported_latency(4, 30, 40, 256, 3)
+        assert not nch.chain_supported_latency(32, 30, 40, 256, 5)
+        assert nch.chain_supported_latency(1, 30, 40, 256, 1)  # K=1 ok
+        # C=512 rides the weight-streaming gate instead
+        assert not nch.chain_supported_latency(1, 15, 20, 512, 2)
+        assert not nch.chain_supported_latency(1, 16, 24, 512, 3)
+        # weight-stack VMEM bound: very deep C=256 chains stay unfused
+        assert not nch.chain_supported_latency(1, 30, 40, 256, 12)
+    finally:
+        nch.LATENCY_MAX_PIXELS = old
+
+
 def test_fused_model_forward_matches_unfused():
     """End-to-end: EMSANet with fused_inference=True matches the plain
     forward on every output (VERDICT r1 next-steps #1 integration)."""
