@@ -73,6 +73,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=60)
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-ab", action="store_true",
+                    help="skip probe 1 (deferred-interleave A/B)")
+    ap.add_argument("--breakdown-batches", type=int, nargs="*",
+                    default=[1],
+                    help="batch sizes for the fwd/e2e/postproc/boundary "
+                    "breakdown (probe 2)")
     args = ap.parse_args()
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
@@ -84,57 +90,11 @@ def main():
     )
 
     # ---- probe 1: deferred-interleave A/B at b32 ------------------------
-    cfg, model, variables, is_thing, rgb, depth = build(32)
-    params, stats = variables["params"], variables.get("batch_stats")
+    if not args.skip_ab:
+        _probe1(args)
 
-    def fwd(params, stats, rgb, depth):
-        return model.apply(
-            {"params": params, "batch_stats": stats},
-            {"rgb": rgb, "depth": depth}, train=False,
-        )
-
-    @jax.jit
-    def e2e_new(params, stats, rgb, depth):
-        out = fwd(params, stats, rgb, depth)
-        return scalar(postprocess(out, is_thing, cfg.model))
-
-    @jax.jit
-    def e2e_old(params, stats, rgb, depth):
-        out = fwd(params, stats, rgb, depth)
-        if "logits_polyphase" in out["semantic"]:
-            # reconstruct the round-2 path: interleave, then decode
-            out = dict(out)
-            sem = dict(out["semantic"])
-            sem["logits"] = depth_to_space(sem.pop("logits_polyphase"))
-            out["semantic"] = sem
-        return scalar(postprocess(out, is_thing, cfg.model))
-
-    @jax.jit
-    def fwd_only(params, stats, rgb, depth):
-        return scalar(fwd(params, stats, rgb, depth))
-
-    t_old = probe(e2e_old, params, stats, rgb, depth, runs=args.runs)
-    t_new = probe(e2e_new, params, stats, rgb, depth, runs=args.runs)
-    t_fwd = probe(fwd_only, params, stats, rgb, depth, runs=args.runs)
-    print(f"b32 e2e OLD (interleave->decode):  {t_old*1e3:8.2f} ms "
-          f"({32/t_old:.1f} fps)", flush=True)
-    print(f"b32 e2e NEW (deferred decode):     {t_new*1e3:8.2f} ms "
-          f"({32/t_new:.1f} fps)", flush=True)
-    print(f"b32 fwd-only (fused):              {t_fwd*1e3:8.2f} ms "
-          f"({32/t_fwd:.1f} fps)", flush=True)
-
-    # compiled-HLO traffic of the new e2e program
-    try:
-        comp = e2e_new.lower(params, stats, rgb, depth).compile()
-        ca = comp.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        print(f"b32 e2e NEW cost: {ca.get('bytes accessed', 0)/1e9:.1f} GB "
-              f"accessed, {ca.get('flops', 0)/1e12:.2f} TFLOP", flush=True)
-    except Exception as e:  # cost analysis is best-effort on this backend
-        print(f"cost_analysis unavailable: {e}", flush=True)
-
-    # ---- probe 2: b1 breakdown ------------------------------------------
-    for b in (1,):
+    # ---- probe 2: per-batch breakdown -----------------------------------
+    for b in args.breakdown_batches:
         cfg1, model1, var1, is_thing1, rgb1, depth1 = build(b)
         p1, s1 = var1["params"], var1.get("batch_stats")
 
@@ -187,6 +147,60 @@ def main():
             tb = probe(bb_e2e, pb, sb, rgbb, depthb, runs=args.runs)
             print(f"b{b} e2e:             {tb*1e3:8.2f} ms "
                   f"({b/tb:.1f} fps, {tb/b*1e3:.2f} ms/frame)", flush=True)
+
+
+def _probe1(args):
+    from emsanet_tpu.ops.polyphase_upsample import depth_to_space
+    from emsanet_tpu.postprocessing import postprocess
+
+    cfg, model, variables, is_thing, rgb, depth = build(32)
+    params, stats = variables["params"], variables.get("batch_stats")
+
+    def fwd(params, stats, rgb, depth):
+        return model.apply(
+            {"params": params, "batch_stats": stats},
+            {"rgb": rgb, "depth": depth}, train=False,
+        )
+
+    @jax.jit
+    def e2e_new(params, stats, rgb, depth):
+        out = fwd(params, stats, rgb, depth)
+        return scalar(postprocess(out, is_thing, cfg.model))
+
+    @jax.jit
+    def e2e_old(params, stats, rgb, depth):
+        out = fwd(params, stats, rgb, depth)
+        if "logits_polyphase" in out["semantic"]:
+            # reconstruct the round-2 path: interleave, then decode
+            out = dict(out)
+            sem = dict(out["semantic"])
+            sem["logits"] = depth_to_space(sem.pop("logits_polyphase"))
+            out["semantic"] = sem
+        return scalar(postprocess(out, is_thing, cfg.model))
+
+    @jax.jit
+    def fwd_only(params, stats, rgb, depth):
+        return scalar(fwd(params, stats, rgb, depth))
+
+    t_old = probe(e2e_old, params, stats, rgb, depth, runs=args.runs)
+    t_new = probe(e2e_new, params, stats, rgb, depth, runs=args.runs)
+    t_fwd = probe(fwd_only, params, stats, rgb, depth, runs=args.runs)
+    print(f"b32 e2e OLD (interleave->decode):  {t_old*1e3:8.2f} ms "
+          f"({32/t_old:.1f} fps)", flush=True)
+    print(f"b32 e2e NEW (deferred decode):     {t_new*1e3:8.2f} ms "
+          f"({32/t_new:.1f} fps)", flush=True)
+    print(f"b32 fwd-only (fused):              {t_fwd*1e3:8.2f} ms "
+          f"({32/t_fwd:.1f} fps)", flush=True)
+
+    # compiled-HLO traffic of the new e2e program
+    try:
+        comp = e2e_new.lower(params, stats, rgb, depth).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        print(f"b32 e2e NEW cost: {ca.get('bytes accessed', 0)/1e9:.1f} GB "
+              f"accessed, {ca.get('flops', 0)/1e12:.2f} TFLOP", flush=True)
+    except Exception as e:  # cost analysis is best-effort on this backend
+        print(f"cost_analysis unavailable: {e}", flush=True)
 
 
 if __name__ == "__main__":
