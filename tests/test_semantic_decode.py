@@ -1,0 +1,68 @@
+"""Exactness tests for the fused semantic conv+decode kernel.
+
+Oracle: postprocess_semantic(depth_to_space(polyphase_conv)) — the
+production deferred-decode path (reference semantics: learned-3x3-
+zeropad prediction upsampling, emsanet/args.py:289-298, + softmax
+argmax/score, SURVEY.md M6). Runs in Pallas interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emsanet_tpu.ops.semantic_decode import (
+    semantic_decode_fused,
+    semantic_decode_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "n,h2,w2,c",
+    [
+        (2, 16, 24, 5),
+        (1, 8, 8, 3),
+        (2, 4, 16, 7),  # clamped-DMA halo windows
+        (1, 2, 8, 4),   # r > h2: padded fallback
+        (1, 30, 40, 40),  # flagship channel count
+    ],
+)
+def test_fused_decode_matches_reference(n, h2, w2, c):
+    rng = np.random.RandomState(n * 100 + h2 + w2 + c)
+    x = jnp.asarray(rng.randn(n, h2, w2, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, c), jnp.float32)
+
+    idx, score = semantic_decode_fused(x, k)
+    ridx, rscore = semantic_decode_reference(x, k)
+
+    assert idx.shape == (n, 2 * h2, 2 * w2)
+    assert idx.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(rscore, np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_fused_decode_explicit_tile():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 12, 16, 6), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, 6), jnp.float32)
+    for tile in (2, 3, 6, 12):
+        idx, score = semantic_decode_fused(x, k, tile_h=tile)
+        ridx, rscore = semantic_decode_reference(x, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        np.testing.assert_allclose(
+            np.asarray(score), np.asarray(rscore, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_fused_decode_grad_free_path_jits():
+    # decode is inference-only; ensure it traces under jit with bf16 input
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 16, 4), np.float32).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 1, 4), jnp.float32)
+    idx, score = jax.jit(semantic_decode_fused)(x, k)
+    assert idx.shape == (1, 16, 32)
+    assert score.dtype == jnp.float32
