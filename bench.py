@@ -76,6 +76,14 @@ def main():
             depth_encoder_backbone="resnet34" if not args.quick else "resnet18",
             compute_dtype=args.dtype,
             fused_inference=not args.no_fused,
+            # fwd-only protocol honesty: without postprocessing the
+            # decoder must still run the final semantic upsample conv
+            # inside the forward ('interleave'); the fully-deferred
+            # 'decode' mode moves that conv into the postprocess stage
+            # (ops/semantic_decode.py megakernel).
+            semantic_decode_fusion=(
+                "decode" if args.with_postprocessing else "interleave"
+            ),
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()

@@ -190,6 +190,16 @@ class ModelConfig:
     # keep the round-2 "fused flags don't touch the training graph"
     # invariant unless explicitly requested.
     train_polyphase_upsampling: bool = False
+    # with fused_inference: how far the FINAL semantic x2 stage defers.
+    # 'decode': the decoder emits the half-res class logits + depthwise
+    #   kernel and postprocessing runs the fused Pallas upsample+decode
+    #   megakernel (ops/semantic_decode.py; 14.4 -> 7.3 ms at b32). Only
+    #   meaningful when postprocessing consumes the outputs.
+    # 'interleave': the decoder emits the (N, H/2, W/2, 4C) polyphase
+    #   conv output and postprocessing decodes it (round-3 behavior;
+    #   keeps full head compute inside the forward for fwd-only
+    #   benchmarking protocols).
+    semantic_decode_fusion: str = "decode"
 
     @property
     def instance_normalized_offset(self) -> bool:
@@ -378,6 +388,12 @@ class EMSANetConfig:
         # single modality => encoder fusion none (args.py:1317-1321)
         if len(m.input_modalities) == 1 and m.encoder_fusion != "none":
             m.encoder_fusion = "none"
+
+        if m.semantic_decode_fusion not in ("decode", "interleave"):
+            raise ValueError(
+                "semantic_decode_fusion must be 'decode' or 'interleave', "
+                f"got '{m.semantic_decode_fusion}'"
+            )
 
         # multiscale supervision forced off for decoders without side
         # outputs (args.py:1382-1398, decoders_with_ms = ('emsanet',))

@@ -153,6 +153,10 @@ class PredictionUpsampling(nn.Module):
     # leave the final x2 stage in the polyphase (pre-interleave) domain
     # when the fused path triggers; caller detects by channel count
     defer_final: bool = False
+    # defer the final x2 stage's conv too: return (half-res input,
+    # depthwise kernel) for the fused Pallas upsample+decode megakernel
+    # (ops/semantic_decode.py); caller detects by isinstance tuple
+    defer_final_conv: bool = False
     train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
@@ -163,7 +167,8 @@ class PredictionUpsampling(nn.Module):
                        dtype=self.dtype, name="up0")(x, train=train)
         x = Upsampling(self.method, fused=self.fused,
                        train_polyphase=self.train_polyphase,
-                       defer_interleave=self.defer_final, dtype=self.dtype,
+                       defer_interleave=self.defer_final,
+                       defer_conv=self.defer_final_conv, dtype=self.dtype,
                        name="up1")(x, train=train)
         return x
 
@@ -200,6 +205,9 @@ class DenseDecoder(nn.Module):
     fused_inference: bool = False
     fused_training: bool = False
     train_polyphase: bool = False
+    # 'decode' | 'interleave': how far the final semantic x2 stage
+    # defers under fused_inference (ModelConfig.semantic_decode_fusion)
+    semantic_decode_fusion: str = "decode"
     dtype: Dtype = jnp.float32
 
     def _head_out_channels(self) -> int:
@@ -292,8 +300,21 @@ class DenseDecoder(nn.Module):
             # with the interleave; instance postprocessing (spatial NMS,
             # offset grouping) needs real full-res maps
             defer_final=(self.task == "semantic" and self.fused_inference),
+            defer_final_conv=(
+                self.task == "semantic"
+                and self.fused_inference
+                and self.semantic_decode_fusion == "decode"
+            ),
             dtype=self.dtype, name="head_upsampling"
         )(pred, train=train)
+        if isinstance(pred, tuple):
+            # fully deferred final stage: postprocessing runs the fused
+            # Pallas upsample+decode kernel (ops/semantic_decode.py)
+            x_half, up_kernel = pred
+            return {
+                "side_outputs": tuple(side_outputs),
+                "decode_input": {"x": x_half, "kernel": up_kernel},
+            }
         deferred = pred.shape[-1] == 4 * n_head
         if not deferred:
             pred = self._encode(pred)

@@ -76,6 +76,11 @@ class Upsampling(nn.Module):
     # the interleaved (N, 2H, 2W, C) result when the polyphase path does
     # not trigger — callers detect which by the channel count.
     defer_interleave: bool = False
+    # defer even the conv: return the (input, depthwise-kernel) tuple so
+    # the consumer can run the fused Pallas upsample+decode megakernel
+    # (ops/semantic_decode.py). Callers detect by isinstance(out, tuple);
+    # falls back like defer_interleave when the polyphase gate is off.
+    defer_conv: bool = False
     # allow the exact polyphase form in train mode too (differentiable;
     # ModelConfig.train_polyphase_upsampling)
     train_polyphase: bool = False
@@ -115,6 +120,8 @@ class Upsampling(nn.Module):
                 # dtype and cast to x.dtype only at conv time (matches
                 # nn.Conv's promotion to within rounding).
                 kernel = self.variables["params"]["depthwise"]["kernel"]
+                if self.defer_conv and not train:
+                    return x, kernel
                 if self.defer_interleave and not train:
                     return upsample2x_depthwise_polyphase_deferred(x, kernel)
                 return upsample2x_depthwise_polyphase(x, kernel)

@@ -482,7 +482,25 @@ def postprocess(
     semantic_full = None
     semantic_score = None
     if "semantic" in outputs:
-        if "logits_polyphase" in outputs["semantic"]:
+        if "decode_input" in outputs["semantic"]:
+            # fully deferred final x2 stage: the fused Pallas
+            # upsample+decode megakernel on TPU (14.4 -> 7.3 ms at b32,
+            # ops/semantic_decode.py), jnp conv oracle elsewhere
+            di = outputs["semantic"]["decode_input"]
+            if jax.default_backend() == "tpu":
+                from emsanet_tpu.ops.semantic_decode import (
+                    semantic_decode_fused,
+                )
+
+                idx, score = semantic_decode_fused(di["x"], di["kernel"])
+            else:
+                from emsanet_tpu.ops.semantic_decode import (
+                    semantic_decode_reference,
+                )
+
+                idx, score = semantic_decode_reference(di["x"], di["kernel"])
+            sem = {"segmentation_idx": idx, "score": score}
+        elif "logits_polyphase" in outputs["semantic"]:
             # fused-inference deferred-interleave head (decoder left the
             # final x2 stage in the polyphase domain)
             sem = postprocess_semantic_polyphase(

@@ -52,6 +52,11 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
     from emsanet_tpu.utils.timing import queue_difference_timing, scalar_probe
 
     cfg.model.compute_dtype = dtype
+    # fwd-only protocol honesty (see bench.py): the fully-deferred
+    # semantic decode moves the final upsample conv into postprocessing,
+    # so without postprocessing the decoder must keep it in the forward
+    if not with_postprocessing:
+        cfg.model.semantic_decode_fusion = "interleave"
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))

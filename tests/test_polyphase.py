@@ -213,3 +213,57 @@ def test_deferred_head_falls_back_at_small_sizes():
     )
     assert "logits" in out["semantic"]
     assert "logits_polyphase" not in out["semantic"]
+
+
+def test_decode_fusion_mode_matches_interleave_mode():
+    """semantic_decode_fusion='decode' (fused Pallas upsample+decode via
+    postprocessing) must produce the same postprocess results as the
+    'interleave' mode on the same weights (f32, CPU: exact idx, 1e-5
+    score). 128x160 input puts the final x2 stage exactly at the
+    polyphase gate (64*80 px >= 4800) so both deferred paths trigger."""
+    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.datasets.registry import get_dataset_config
+    from emsanet_tpu.models import EMSANet, init_model
+    from emsanet_tpu.postprocessing import postprocess
+
+    def build(mode):
+        cfg = EMSANetConfig(
+            model=ModelConfig(
+                tasks=("semantic",), input_height=128, input_width=160,
+                rgb_encoder_backbone="resnet18",
+                depth_encoder_backbone="resnet18",
+                fused_inference=True,
+                semantic_decode_fusion=mode,
+            ),
+            data=DataConfig(dataset="synthetic"),
+        ).validate()
+        ds = get_dataset_config(cfg.data)
+        return cfg, EMSANet(cfg=cfg.model, dataset_config=ds), ds
+
+    cfg_d, model_d, ds = build("decode")
+    cfg_i, model_i, _ = build("interleave")
+    variables = init_model(model_d, jax.random.PRNGKey(0))
+    is_thing = jnp.asarray(ds.semantic_label_list.classes_is_thing)
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(1, 128, 160, 3), jnp.float32),
+        "depth": jnp.asarray(rng.randn(1, 128, 160, 1), jnp.float32),
+    }
+
+    out_d = model_d.apply(variables, batch, train=False)
+    out_i = model_i.apply(variables, batch, train=False)
+    assert "decode_input" in out_d["semantic"], out_d["semantic"].keys()
+    assert out_d["semantic"]["decode_input"]["x"].shape == (1, 64, 80, 40)
+    assert "logits_polyphase" in out_i["semantic"]
+
+    res_d = postprocess(out_d, is_thing, cfg_d.model)
+    res_i = postprocess(out_i, is_thing, cfg_i.model)
+    np.testing.assert_array_equal(
+        np.asarray(res_d["semantic_segmentation_idx"]),
+        np.asarray(res_i["semantic_segmentation_idx"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d["semantic_segmentation_score"]),
+        np.asarray(res_i["semantic_segmentation_score"]),
+        rtol=1e-5, atol=1e-6,
+    )

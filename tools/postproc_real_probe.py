@@ -66,6 +66,8 @@ def main():
             input_height=480, input_width=640,
             compute_dtype="bfloat16",
             fused_inference=True,
+            # this tool probes the y4c (polyphase-domain) stages
+            semantic_decode_fusion="interleave",
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()

@@ -44,7 +44,7 @@ def scalar(outputs):
     )
 
 
-def build(batch, fused=True):
+def build(batch, fused=True, decode_fusion="decode"):
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
     from emsanet_tpu.datasets.registry import get_dataset_config
     from emsanet_tpu.models import EMSANet, init_model
@@ -56,6 +56,7 @@ def build(batch, fused=True):
             input_height=480, input_width=640,
             compute_dtype="bfloat16",
             fused_inference=fused,
+            semantic_decode_fusion=decode_fusion,
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()
@@ -153,23 +154,36 @@ def _probe1(args):
     from emsanet_tpu.ops.polyphase_upsample import depth_to_space
     from emsanet_tpu.postprocessing import postprocess
 
-    cfg, model, variables, is_thing, rgb, depth = build(32)
+    # three e2e generations in one process:
+    #   r2: interleave -> full-res decode
+    #   r3: deferred-interleave polyphase decode
+    #   r4: fused Pallas upsample+decode megakernel (decode_input)
+    cfg, model, variables, is_thing, rgb, depth = build(
+        32, decode_fusion="interleave"
+    )
+    cfg_k, model_k, var_k, _, _, _ = build(32, decode_fusion="decode")
     params, stats = variables["params"], variables.get("batch_stats")
+    params_k, stats_k = var_k["params"], var_k.get("batch_stats")
 
-    def fwd(params, stats, rgb, depth):
-        return model.apply(
+    def fwd(m, params, stats, rgb, depth):
+        return m.apply(
             {"params": params, "batch_stats": stats},
             {"rgb": rgb, "depth": depth}, train=False,
         )
 
     @jax.jit
+    def e2e_kernel(params, stats, rgb, depth):
+        out = fwd(model_k, params, stats, rgb, depth)
+        return scalar(postprocess(out, is_thing, cfg_k.model))
+
+    @jax.jit
     def e2e_new(params, stats, rgb, depth):
-        out = fwd(params, stats, rgb, depth)
+        out = fwd(model, params, stats, rgb, depth)
         return scalar(postprocess(out, is_thing, cfg.model))
 
     @jax.jit
     def e2e_old(params, stats, rgb, depth):
-        out = fwd(params, stats, rgb, depth)
+        out = fwd(model, params, stats, rgb, depth)
         if "logits_polyphase" in out["semantic"]:
             # reconstruct the round-2 path: interleave, then decode
             out = dict(out)
@@ -180,16 +194,19 @@ def _probe1(args):
 
     @jax.jit
     def fwd_only(params, stats, rgb, depth):
-        return scalar(fwd(params, stats, rgb, depth))
+        return scalar(fwd(model, params, stats, rgb, depth))
 
     t_old = probe(e2e_old, params, stats, rgb, depth, runs=args.runs)
     t_new = probe(e2e_new, params, stats, rgb, depth, runs=args.runs)
+    t_ker = probe(e2e_kernel, params_k, stats_k, rgb, depth, runs=args.runs)
     t_fwd = probe(fwd_only, params, stats, rgb, depth, runs=args.runs)
-    print(f"b32 e2e OLD (interleave->decode):  {t_old*1e3:8.2f} ms "
+    print(f"b32 e2e r2 (interleave->decode):   {t_old*1e3:8.2f} ms "
           f"({32/t_old:.1f} fps)", flush=True)
-    print(f"b32 e2e NEW (deferred decode):     {t_new*1e3:8.2f} ms "
+    print(f"b32 e2e r3 (deferred decode):      {t_new*1e3:8.2f} ms "
           f"({32/t_new:.1f} fps)", flush=True)
-    print(f"b32 fwd-only (fused):              {t_fwd*1e3:8.2f} ms "
+    print(f"b32 e2e r4 (Pallas decode kernel): {t_ker*1e3:8.2f} ms "
+          f"({32/t_ker:.1f} fps)", flush=True)
+    print(f"b32 fwd-only (fused, interleave):  {t_fwd*1e3:8.2f} ms "
           f"({32/t_fwd:.1f} fps)", flush=True)
 
     # compiled-HLO traffic of the new e2e program
