@@ -77,12 +77,18 @@ def main():
             compute_dtype=args.dtype,
             fused_inference=not args.no_fused,
             # fwd-only protocol honesty: without postprocessing the
-            # decoder must still run the final semantic upsample conv
-            # inside the forward ('interleave'); the fully-deferred
-            # 'decode' mode moves that conv into the postprocess stage
-            # (ops/semantic_decode.py megakernel).
-            semantic_decode_fusion=(
-                "decode" if args.with_postprocessing else "interleave"
+            # decoder must still run the final head upsample convs
+            # inside the forward ('interleave'). With postprocessing the
+            # fused Pallas decode paths take over; the winner is batch-
+            # dependent (tools/mode_sweep.py, one process, v5e 640x480):
+            #   b1: decode 4.53 / planes 6.27 ms
+            #   b2: 13.65 / 10.26   b4: 21.63 / 15.77   b8: 25.77 / 22.87
+            #   b32: 58.76 / 74.40
+            # -> 'decode' at b1 and >=16, 'decode-planes' in between.
+            head_decode_fusion=(
+                "interleave" if not args.with_postprocessing
+                else ("decode" if args.batch_size == 1
+                      or args.batch_size >= 16 else "decode-planes")
             ),
         ),
         data=DataConfig(dataset="synthetic"),

@@ -190,16 +190,23 @@ class ModelConfig:
     # keep the round-2 "fused flags don't touch the training graph"
     # invariant unless explicitly requested.
     train_polyphase_upsampling: bool = False
-    # with fused_inference: how far the FINAL semantic x2 stage defers.
-    # 'decode': the decoder emits the half-res class logits + depthwise
-    #   kernel and postprocessing runs the fused Pallas upsample+decode
-    #   megakernel (ops/semantic_decode.py; 14.4 -> 7.3 ms at b32). Only
-    #   meaningful when postprocessing consumes the outputs.
+    # with fused_inference: how far the FINAL head x2 stages defer.
+    # 'decode' (default): the SEMANTIC decoder emits the half-res class
+    #   logits + depthwise kernel and postprocessing runs the fused
+    #   Pallas upsample+decode megakernel (ops/semantic_decode.py;
+    #   14.4 -> 7.3 ms at b32, e2e b32 78.0 -> 64.5 ms). The instance
+    #   head stays in the forward. Best THROUGHPUT configuration.
+    # 'decode-planes': BOTH heads defer; the whole postprocessing runs
+    #   in the parity-plane domain (ops/instance_head.py +
+    #   postprocessing._postprocess_planes) and only final maps are
+    #   interleaved. Wins at LATENCY batch sizes (b1 e2e 7.9 -> 6.1 ms)
+    #   but the final-map interleave relayouts scale with batch and lose
+    #   at b32 (74.6 vs 64.5 ms) — measured tools/r3_perf_probe.py.
     # 'interleave': the decoder emits the (N, H/2, W/2, 4C) polyphase
     #   conv output and postprocessing decodes it (round-3 behavior;
     #   keeps full head compute inside the forward for fwd-only
     #   benchmarking protocols).
-    semantic_decode_fusion: str = "decode"
+    head_decode_fusion: str = "decode"
 
     @property
     def instance_normalized_offset(self) -> bool:
@@ -389,10 +396,12 @@ class EMSANetConfig:
         if len(m.input_modalities) == 1 and m.encoder_fusion != "none":
             m.encoder_fusion = "none"
 
-        if m.semantic_decode_fusion not in ("decode", "interleave"):
+        if m.head_decode_fusion not in (
+            "decode", "decode-planes", "interleave"
+        ):
             raise ValueError(
-                "semantic_decode_fusion must be 'decode' or 'interleave', "
-                f"got '{m.semantic_decode_fusion}'"
+                "head_decode_fusion must be 'decode', 'decode-planes' or "
+                f"'interleave', got '{m.head_decode_fusion}'"
             )
 
         # multiscale supervision forced off for decoders without side

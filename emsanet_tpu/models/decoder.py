@@ -206,8 +206,8 @@ class DenseDecoder(nn.Module):
     fused_training: bool = False
     train_polyphase: bool = False
     # 'decode' | 'interleave': how far the final semantic x2 stage
-    # defers under fused_inference (ModelConfig.semantic_decode_fusion)
-    semantic_decode_fusion: str = "decode"
+    # defers under fused_inference (ModelConfig.head_decode_fusion)
+    head_decode_fusion: str = "decode"
     dtype: Dtype = jnp.float32
 
     def _head_out_channels(self) -> int:
@@ -301,15 +301,21 @@ class DenseDecoder(nn.Module):
             # offset grouping) needs real full-res maps
             defer_final=(self.task == "semantic" and self.fused_inference),
             defer_final_conv=(
-                self.task == "semantic"
-                and self.fused_inference
-                and self.semantic_decode_fusion == "decode"
+                self.fused_inference
+                and (
+                    (self.task == "semantic"
+                     and self.head_decode_fusion.startswith("decode"))
+                    or (self.task == "instance"
+                        and self.head_decode_fusion == "decode-planes")
+                )
             ),
             dtype=self.dtype, name="head_upsampling"
         )(pred, train=train)
         if isinstance(pred, tuple):
             # fully deferred final stage: postprocessing runs the fused
-            # Pallas upsample+decode kernel (ops/semantic_decode.py)
+            # Pallas upsample(+decode/encode) kernel — semantic:
+            # ops/semantic_decode.py, instance: ops/instance_head.py
+            # (which also applies the sigmoid/tanh output encodings)
             x_half, up_kernel = pred
             return {
                 "side_outputs": tuple(side_outputs),

@@ -68,7 +68,7 @@ class EMSANet(nn.Module):
                     fused_inference=cfg.fused_inference,
                     fused_training=cfg.fused_training,
                     train_polyphase=cfg.train_polyphase_upsampling,
-                    semantic_decode_fusion=cfg.semantic_decode_fusion,
+                    head_decode_fusion=cfg.head_decode_fusion,
                     n_channels=cfg.semantic_decoder_n_channels,
                     downsamplings=cfg.semantic_decoder_downsamplings,
                     block=cfg.semantic_decoder_block,
@@ -104,6 +104,7 @@ class EMSANet(nn.Module):
                     fused_inference=cfg.fused_inference,
                     fused_training=cfg.fused_training,
                     train_polyphase=cfg.train_polyphase_upsampling,
+                    head_decode_fusion=cfg.head_decode_fusion,
                     n_channels=cfg.instance_decoder_n_channels,
                     downsamplings=cfg.instance_decoder_downsamplings,
                     block=cfg.instance_decoder_block,

@@ -67,11 +67,29 @@ def group_pixels_argmin(
     bool. Returns (N, P) int32 and (N, P) f32. P is padded to the tile
     size internally.
     """
-    n, p, _ = voted.shape
+    return group_pixels_argmin_t(
+        jnp.swapaxes(voted, 1, 2), centers, centers_valid,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def group_pixels_argmin_t(
+    voted_t: jnp.ndarray,
+    centers: jnp.ndarray,
+    centers_valid: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`group_pixels_argmin` with pre-transposed voted (N, 2, P).
+
+    Callers that hold the voted y/x as separate lane-major maps (the
+    parity-plane postprocessing pipeline) stack them directly into this
+    layout and skip the (N, P, 2) -> (N, 2, P) relayout entirely.
+    """
+    n, _, p = voted_t.shape
     k = centers.shape[1]
     p_pad = -(-p // _TILE) * _TILE
 
-    voted_t = jnp.swapaxes(voted, 1, 2)  # (N, 2, P)
     if p_pad != p:
         voted_t = jnp.pad(voted_t, ((0, 0), (0, 0), (0, p_pad - p)))
     centers_t = jnp.swapaxes(centers, 1, 2)  # (N, 2, K)

@@ -27,7 +27,7 @@ interleaved output (tests/test_semantic_decode.py, interpret mode).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,19 +185,21 @@ def _decode_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
-def semantic_decode_fused(
+def semantic_decode_fused_planes(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     interpret: bool = False,
     tile_h: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused final-x2-upsample + semantic decode.
+    """Fused final-x2-upsample + semantic decode, parity-plane outputs.
+
+    Like `semantic_decode_fused` but returns the kernel's raw
+    (idx (N, 4, H/2, W/2) int32, score (N, 4, H/2, W/2) f32) parity
+    planes (parity = p*2+q) — the parity-domain postprocessing pipeline
+    consumes these directly and interleaves only its final maps.
 
     x: (N, H/2, W/2, C) half-res class logits (input of the final
     'learned-3x3-zeropad' x2 stage); kernel: (3, 3, 1, C) depthwise.
-    Returns (idx (N, H, W) int32, score (N, H, W) f32) identical (up to
-    dtype rounding) to postprocess_semantic(depth_to_space(
-    upsample2x_depthwise_polyphase_deferred(x, kernel))).
     """
     from emsanet_tpu.ops.polyphase_upsample import polyphase_kernels
 
@@ -264,8 +266,31 @@ def semantic_decode_fused(
         interpret=interpret,
     )(xt, kp)
 
-    def interleave(planes):  # (N, 4, H2, Wp), parity p*2+q -> (N, H, W)
-        a = planes[..., :w2].reshape(n, 2, 2, h2, w2)
+    return idx4[..., :w2], score4[..., :w2]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def semantic_decode_fused(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    interpret: bool = False,
+    tile_h: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused final-x2-upsample + semantic decode.
+
+    x: (N, H/2, W/2, C) half-res class logits (input of the final
+    'learned-3x3-zeropad' x2 stage); kernel: (3, 3, 1, C) depthwise.
+    Returns (idx (N, H, W) int32, score (N, H, W) f32) identical (up to
+    dtype rounding) to postprocess_semantic(depth_to_space(
+    upsample2x_depthwise_polyphase_deferred(x, kernel))).
+    """
+    idx4, score4 = semantic_decode_fused_planes(
+        x, kernel, interpret=interpret, tile_h=tile_h
+    )
+    n, _, h2, w2 = idx4.shape
+
+    def interleave(planes):  # (N, 4, H2, W2), parity p*2+q -> (N, H, W)
+        a = planes.reshape(n, 2, 2, h2, w2)
         a = jnp.transpose(a, (0, 3, 1, 4, 2))
         return a.reshape(n, 2 * h2, 2 * w2)
 

@@ -125,6 +125,191 @@ def _nms_keep_mask(heatmap: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     return heatmap >= pooled
 
 
+def _pool1d(x: jnp.ndarray, lo: int, hi: int, axis: int) -> jnp.ndarray:
+    """out[i] = max_{e in [lo, hi]} x[i+e], -inf outside the extent."""
+    if hi < lo:
+        return jnp.full_like(x, -jnp.inf)
+    dims = [1] * x.ndim
+    dims[axis] = hi - lo + 1
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (-lo, hi)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, tuple(dims), (1,) * x.ndim, tuple(pad)
+    )
+
+
+def _nms_keep_mask_planes(hm: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Parity-domain form of `_nms_keep_mask` (bitwise identical).
+
+    hm: (N, 2, 2, H/2, W/2) parity planes [p][q] of the interleaved
+    (N, H, W) heatmap (full-res pixel (2i+p, 2j+q) = hm[:, p, q, i, j]).
+    A k-tap max window on the interleaved axis decomposes into a
+    same-parity window of offsets e in [-m//2, m//2] and a cross-parity
+    window whose offsets depend on the own parity p:
+      cross rows 2(i+e')+(1-p), delta = 2e'+1-2p, |delta| <= m
+      => e' in [-((m+1-2p)//2), (m-1+2p)//2].
+    Separable over rows then columns like the full-res path.
+    """
+    m = (kernel_size - 1) // 2
+    s_lo, s_hi = -(m // 2), m // 2
+
+    def bounds(par):
+        return -((m + 1 - 2 * par) // 2), (m - 1 + 2 * par) // 2
+
+    rp = []
+    for p in (0, 1):
+        own = hm[:, p]  # (N, 2, H/2, W/2), rows axis 2
+        other = hm[:, 1 - p]
+        lo, hi = bounds(p)
+        rp.append(jnp.maximum(
+            _pool1d(own, s_lo, s_hi, axis=2),
+            _pool1d(other, lo, hi, axis=2),
+        ))
+    rp = jnp.stack(rp, axis=1)  # (N, 2, 2, H/2, W/2)
+
+    cp = []
+    for q in (0, 1):
+        own = rp[:, :, q]  # (N, 2, H/2, W/2), cols axis 3
+        other = rp[:, :, 1 - q]
+        lo, hi = bounds(q)
+        cp.append(jnp.maximum(
+            _pool1d(own, s_lo, s_hi, axis=3),
+            _pool1d(other, lo, hi, axis=3),
+        ))
+    pooled = jnp.stack(cp, axis=2)  # (N, 2, 2, H/2, W/2)
+    return hm >= pooled
+
+
+def find_instance_centers_planes(
+    heatmap_planes: jnp.ndarray,
+    threshold: float = 0.1,
+    nms_kernel_size: int = 17,
+    top_k: int = 64,
+    foreground_planes: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """`find_instance_centers` on (N, 4, H/2, W/2) parity planes.
+
+    Returns the same structure ('yx' in FULL-RES coordinates, 'scores',
+    'valid') plus 'flat_idx' into the parity-major flat pixel order
+    (parity*h2*w2 + i*w2 + j) used by the planes pipeline.
+    """
+    n, four, h2, w2 = heatmap_planes.shape
+    hm = heatmap_planes
+    if foreground_planes is not None:
+        hm = jnp.where(foreground_planes, hm, 0.0)
+    keep = _nms_keep_mask_planes(
+        hm.reshape(n, 2, 2, h2, w2), nms_kernel_size
+    ).reshape(n, 4, h2, w2)
+    hm = jnp.where(keep & (hm > threshold), hm, 0.0)
+
+    flat = hm.reshape(n, 4 * h2 * w2)
+    scores, flat_idx = jax.lax.top_k(flat, top_k)
+    valid = scores > 0.0
+    par = flat_idx // (h2 * w2)
+    rem = flat_idx % (h2 * w2)
+    ys = 2 * (rem // w2) + par // 2
+    xs = 2 * (rem % w2) + par % 2
+    yx = jnp.stack([ys.astype(jnp.int32), xs.astype(jnp.int32)], axis=-1)
+    return {
+        "yx": yx, "scores": scores, "valid": valid, "flat_idx": flat_idx
+    }
+
+
+def group_pixels_to_instances_planes(
+    centers_yx: jnp.ndarray,
+    centers_valid: jnp.ndarray,
+    offset_y_planes: jnp.ndarray,
+    offset_x_planes: jnp.ndarray,
+    foreground_flat: jnp.ndarray,
+    full_hw: Tuple[int, int],
+    normalized_offset: bool = True,
+    offset_distance_threshold: Optional[float] = None,
+) -> jnp.ndarray:
+    """`group_pixels_to_instances` in parity-major flat pixel order.
+
+    offset planes: (N, 4, H/2, W/2) f32 (dy / dx); foreground_flat:
+    (N, P) bool with P = 4*h2*w2 in the same parity-major order.
+    Returns (N, P) int32 instance ids in [0, K]. The voted-center math
+    is identical to the interleaved path — only the pixel ORDER differs,
+    and the grouping argmin is order-independent. Building the (N, 2, P)
+    kernel input from rank-4 lane-major planes skips the (N, P, 2)
+    swapaxes relayout the interleaved path pays.
+    """
+    n, four, h2, w2 = offset_y_planes.shape
+    h, w = full_hw
+    p_total = four * h2 * w2
+    k = centers_yx.shape[1]
+
+    par = jax.lax.broadcasted_iota(jnp.int32, (four, h2, w2), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (four, h2, w2), 1)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (four, h2, w2), 2)
+    loc_y = (2 * iy + par // 2).astype(jnp.float32)
+    loc_x = (2 * jx + par % 2).astype(jnp.float32)
+
+    off_y = offset_y_planes.astype(jnp.float32)
+    off_x = offset_x_planes.astype(jnp.float32)
+    if normalized_offset:
+        off_y = off_y * jnp.float32(h)
+        off_x = off_x * jnp.float32(w)
+    vy = (loc_y[None] + off_y).reshape(n, p_total)
+    vx = (loc_x[None] + off_x).reshape(n, p_total)
+    voted_t = jnp.stack([vy, vx], axis=1)  # (N, 2, P) — no relayout
+
+    from emsanet_tpu.ops.grouping import (
+        group_pixels_argmin_reference,
+        group_pixels_argmin_t,
+    )
+
+    c = centers_yx.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        best, best_d = group_pixels_argmin_t(voted_t, c, centers_valid)
+    else:
+        best, best_d = group_pixels_argmin_reference(
+            jnp.swapaxes(voted_t, 1, 2), c, centers_valid
+        )
+
+    instance_id = best + 1
+    any_valid = jnp.any(centers_valid, axis=-1)[:, None]
+    if offset_distance_threshold is not None:
+        near = best_d <= jnp.float32(offset_distance_threshold) ** 2
+        instance_id = jnp.where(near, instance_id, 0)
+    instance_id = jnp.where(any_valid, instance_id, 0)
+    return jnp.where(foreground_flat, instance_id, 0)
+
+
+def interleave_plane(planes: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4, H/2, W/2) parity planes (p*2+q) -> (N, H, W)."""
+    n, _, h2, w2 = planes.shape
+    a = planes.reshape(n, 2, 2, h2, w2)
+    a = jnp.transpose(a, (0, 3, 1, 4, 2))
+    return a.reshape(n, 2 * h2, 2 * w2)
+
+
+def deinterleave_plane(full: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) -> (N, 4, H/2, W/2) parity planes (p*2+q)."""
+    n, h, w = full.shape
+    a = full.reshape(n, h // 2, 2, w // 2, 2)
+    return jnp.transpose(a, (0, 2, 4, 1, 3)).reshape(
+        n, 4, h // 2, w // 2
+    )
+
+
+def interleave_planes_np(planes) -> "np.ndarray":  # noqa: F821
+    """numpy parity-plane interleave for host-side consumers.
+
+    planes: (..., 4, H/2, W/2) -> (..., H, W). Used by visualization /
+    metric helpers that receive `instance_head_planes` instead of the
+    full-res channel-minor maps (the hot path never materializes those).
+    """
+    import numpy as np
+
+    planes = np.asarray(planes)
+    *lead, four, h2, w2 = planes.shape
+    a = planes.reshape(*lead, 2, 2, h2, w2)
+    a = np.moveaxis(a, (-4, -3), (-3, -1))
+    return a.reshape(*lead, 2 * h2, 2 * w2)
+
+
 def find_instance_centers(
     center_heatmap: jnp.ndarray,
     threshold: float = 0.1,
@@ -284,28 +469,69 @@ def panoptic_merge(
     argmax), restricted to thing classes. panoptic = class * divisor +
     instance for things; class * divisor for stuff; void for thing pixels
     without an instance.
+
+    The math is per-pixel / per-segment and does not depend on the pixel
+    ORDER — `panoptic_merge_flat` is the same computation on flat (N, P)
+    tensors (used by the parity-plane pipeline, which keeps everything
+    in parity-major order and interleaves only the final maps).
     """
     n, h, w = semantic_idx.shape
+    flat = panoptic_merge_flat(
+        semantic_idx.reshape(n, h * w),
+        semantic_score.reshape(n, h * w),
+        instance_seg.reshape(n, h * w),
+        centers_score,
+        centers_valid,
+        is_thing,
+        n_classes,
+        label_divisor=label_divisor,
+        void_label=void_label,
+        orientation_vectors=(
+            orientation_vectors.reshape(n, h * w, 2)
+            if orientation_vectors is not None else None
+        ),
+    )
+    out = dict(flat)
+    for key in ("panoptic", "panoptic_score", "pixel_instance_semantic",
+                "foreground_mask"):
+        out[key] = flat[key].reshape(n, h, w)
+    return out
+
+
+def panoptic_merge_flat(
+    semantic_idx: jnp.ndarray,
+    semantic_score: jnp.ndarray,
+    instance_seg: jnp.ndarray,
+    centers_score: jnp.ndarray,
+    centers_valid: jnp.ndarray,
+    is_thing: jnp.ndarray,
+    n_classes: int,
+    label_divisor: int = LABEL_DIVISOR,
+    void_label: int = VOID_LABEL,
+    orientation_vectors: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """`panoptic_merge` on flat (N, P) pixel tensors (order-agnostic)."""
+    n, n_pix = semantic_idx.shape
     k = centers_score.shape[1]
 
     from emsanet_tpu.ops.segment_ops import small_table_lookup
 
     # compare-based lookup: table gathers cost ~76 ms at this size (v5e)
-    thing_mask = small_table_lookup(semantic_idx, is_thing)  # (N, H, W)
+    thing_mask = small_table_lookup(semantic_idx, is_thing)  # (N, P)
     has_instance = instance_seg > 0
 
     # --- majority vote: histogram over (instance id, semantic class) ------
     # one-hot segment sum; votes only from thing pixels of each instance
-    flat_inst = instance_seg.reshape(n, h * w)
-    flat_sem = semantic_idx.reshape(n, h * w)
-    flat_thing = thing_mask.reshape(n, h * w)
+    flat_inst = instance_seg
+    flat_sem = semantic_idx
+    flat_thing = thing_mask
 
     vote_weight = flat_thing.astype(jnp.float32)
     # (instance, class) vote histogram: Pallas segment-reduce kernel on
     # TPU (masks in-register, MXU dots); factored one-hot matmuls as the
     # jnp fallback/oracle. Votes are 0/1 -> exact.
     flat_or = (
-        orientation_vectors.reshape(n, h * w, 2).astype(jnp.float32)
+        orientation_vectors.astype(jnp.float32)
         if orientation_vectors is not None else None
     )
     ori_sums = None
@@ -354,17 +580,17 @@ def panoptic_merge(
             [inst_semantic.astype(jnp.float32), center_score_padded], axis=1
         )  # (N, 2, K+1)
         looked_up = segment_lookup(flat_inst, tables)  # (N, 2, P)
-        pixel_inst_sem = looked_up[:, 0].astype(jnp.int32).reshape(n, h, w)
-        pixel_inst_score = looked_up[:, 1].reshape(n, h, w)
+        pixel_inst_sem = looked_up[:, 0].astype(jnp.int32)
+        pixel_inst_score = looked_up[:, 1]
     else:
         from emsanet_tpu.ops.segment_ops import segment_gather
 
         pixel_inst_sem = segment_gather(
             flat_inst, inst_semantic.astype(jnp.float32)
-        ).astype(jnp.int32).reshape(n, h, w)
+        ).astype(jnp.int32)
         pixel_inst_score = segment_gather(
             flat_inst, center_score_padded
-        ).reshape(n, h, w)
+        )
 
     thing_assigned = thing_mask & has_instance & (pixel_inst_sem > 0)
     panoptic = jnp.where(
@@ -479,6 +705,20 @@ def postprocess(
     results: Dict[str, jnp.ndarray] = {}
     n_classes_full = int(is_thing.shape[0])
 
+    if (
+        "semantic" in outputs
+        and "decode_input" in outputs["semantic"]
+        and "instance" in outputs
+        and "decode_input" in outputs["instance"]
+    ):
+        # both heads fully deferred: run the parity-plane pipeline
+        # (everything in parity-major order; interleave only final maps)
+        return _postprocess_planes(
+            outputs, is_thing, cfg,
+            gt_foreground=gt_foreground,
+            use_orientations=use_orientations,
+        )
+
     semantic_full = None
     semantic_score = None
     if "semantic" in outputs:
@@ -512,6 +752,40 @@ def postprocess(
         results["semantic_segmentation_score"] = sem["score"]
         semantic_full = sem["segmentation_idx"] + 1  # -> full label space
         semantic_score = sem["score"]
+
+    if "instance" in outputs and "decode_input" in outputs["instance"]:
+        # fully deferred instance head: run the fused Pallas
+        # upsample+encode kernel (ops/instance_head.py) and materialize
+        # the legacy center/offset/orientation maps from its parity
+        # planes — everything downstream is unchanged
+        di = outputs["instance"]["decode_input"]
+        c_head = di["x"].shape[-1]
+        from emsanet_tpu.ops.instance_head import (
+            encodings_for,
+            instance_head_upsample,
+            instance_head_upsample_reference,
+            interleave_channel,
+        )
+
+        enc = encodings_for(
+            c_head, cfg.instance_sigmoid_for_center,
+            cfg.instance_tanh_for_offset,
+        )
+        if jax.default_backend() == "tpu":
+            planes = instance_head_upsample(di["x"], di["kernel"], enc)
+        else:
+            planes = instance_head_upsample_reference(
+                di["x"], di["kernel"], enc
+            )
+        maps = [interleave_channel(planes, ch) for ch in range(c_head)]
+        inst_decoded: Dict[str, Any] = {
+            "center": maps[0][..., None],
+            "offset": jnp.stack(maps[1:3], axis=-1),
+        }
+        if c_head >= 5:
+            inst_decoded["orientation"] = jnp.stack(maps[3:5], axis=-1)
+        outputs = dict(outputs)
+        outputs["instance"] = inst_decoded
 
     if "instance" in outputs:
         if semantic_full is not None:
@@ -619,6 +893,206 @@ def postprocess(
                     use_orientations[inst_sem]
                     & results["panoptic_instance_meta_valid"]
                 )
+
+    if "normal" in outputs:
+        results["normal"] = outputs["normal"]["normal"]
+
+    if "scene" in outputs:
+        scene = postprocess_scene(outputs["scene"]["logits"])
+        results["scene_class_idx"] = scene["class_idx"]
+        results["scene_class_score"] = scene["class_score"]
+
+    return results
+
+
+def _postprocess_planes(
+    outputs: Dict[str, Any],
+    is_thing: jnp.ndarray,
+    cfg,
+    gt_foreground: Optional[jnp.ndarray] = None,
+    use_orientations: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Parity-domain postprocessing (both heads fully deferred).
+
+    The semantic decode kernel and the instance head kernel emit
+    (N, 4, H/2, W/2) parity planes; every per-pixel stage (foreground
+    lookup, NMS, grouping, the panoptic-merge segment passes) runs in
+    parity-major flat order, and only the FINAL user-facing maps are
+    interleaved — the full-res channel-minor center/offset/orientation
+    tensors never materialize. Their information is returned as
+    `instance_head_planes` (N, C, 4, H/2, W/2) f32 (+ helpers:
+    `interleave_planes_np` on the host, `interleave_plane` on device).
+
+    Numerics match the interleaved pipeline exactly on the same inputs
+    (tests/test_postproc_planes.py): the per-pixel math is identical,
+    only the pixel ORDER inside the order-agnostic segment/grouping ops
+    differs.
+    """
+    results: Dict[str, jnp.ndarray] = {}
+    n_classes_full = int(is_thing.shape[0])
+    on_tpu = jax.default_backend() == "tpu"
+
+    from emsanet_tpu.ops.instance_head import (
+        encodings_for,
+        instance_head_upsample,
+        instance_head_upsample_reference,
+    )
+    from emsanet_tpu.ops.segment_ops import small_table_lookup
+
+    # --- semantic: decode to parity planes --------------------------------
+    sdi = outputs["semantic"]["decode_input"]
+    if on_tpu:
+        from emsanet_tpu.ops.semantic_decode import (
+            semantic_decode_fused_planes,
+        )
+
+        idx4, score4 = semantic_decode_fused_planes(
+            sdi["x"], sdi["kernel"]
+        )
+    else:
+        from emsanet_tpu.ops.semantic_decode import semantic_decode_reference
+
+        idx_full, score_full = semantic_decode_reference(
+            sdi["x"], sdi["kernel"]
+        )
+        idx4 = deinterleave_plane(idx_full)
+        score4 = deinterleave_plane(score_full)
+
+    n, _, h2, w2 = idx4.shape
+    h, w = 2 * h2, 2 * w2
+    p_total = 4 * h2 * w2
+    results["semantic_segmentation_idx"] = interleave_plane(idx4)
+    results["semantic_segmentation_score"] = interleave_plane(score4)
+
+    sem_full_planes = idx4 + 1  # -> full label space (void at 0)
+    fg_planes = small_table_lookup(sem_full_planes, is_thing)
+    fg_flat = fg_planes.reshape(n, p_total)
+
+    # --- instance head: fused upsample+encode into planes ------------------
+    di = outputs["instance"]["decode_input"]
+    c_head = di["x"].shape[-1]
+    enc = encodings_for(
+        c_head, cfg.instance_sigmoid_for_center, cfg.instance_tanh_for_offset
+    )
+    if on_tpu:
+        planes = instance_head_upsample(di["x"], di["kernel"], enc)
+    else:
+        planes = instance_head_upsample_reference(di["x"], di["kernel"], enc)
+    center_planes = planes[:, 0]  # (N, 4, H/2, W/2) f32
+    off_y_planes, off_x_planes = planes[:, 1], planes[:, 2]
+
+    apply_fg = cfg.instance_center_heatmap_apply_foreground_mask
+    centers = find_instance_centers_planes(
+        center_planes,
+        threshold=cfg.instance_center_heatmap_threshold,
+        nms_kernel_size=cfg.instance_center_heatmap_nms_kernel_size,
+        top_k=cfg.instance_center_heatmap_top_k,
+        foreground_planes=fg_planes if apply_fg else None,
+    )
+    inst_flat = group_pixels_to_instances_planes(
+        centers["yx"], centers["valid"], off_y_planes, off_x_planes,
+        fg_flat, (h, w),
+        normalized_offset=cfg.instance_normalized_offset,
+        offset_distance_threshold=cfg.instance_offset_distance_threshold,
+    )
+
+    if gt_foreground is not None:
+        # GT-foreground variant (reference
+        # 'instance_segmentation_gt_foreground', §3.4)
+        gt_planes = deinterleave_plane(gt_foreground.astype(bool))
+        centers_gt = find_instance_centers_planes(
+            center_planes,
+            threshold=cfg.instance_center_heatmap_threshold,
+            nms_kernel_size=cfg.instance_center_heatmap_nms_kernel_size,
+            top_k=cfg.instance_center_heatmap_top_k,
+            foreground_planes=gt_planes if apply_fg else None,
+        )
+        inst_gt_flat = group_pixels_to_instances_planes(
+            centers_gt["yx"], centers_gt["valid"], off_y_planes,
+            off_x_planes, gt_planes.reshape(n, p_total), (h, w),
+            normalized_offset=cfg.instance_normalized_offset,
+            offset_distance_threshold=cfg.instance_offset_distance_threshold,
+        )
+        results["instance_segmentation_gt_foreground"] = interleave_plane(
+            inst_gt_flat.reshape(n, 4, h2, w2)
+        )
+
+    results["instance_segmentation"] = interleave_plane(
+        inst_flat.reshape(n, 4, h2, w2)
+    )
+    results["instance_centers_yx"] = centers["yx"]
+    results["instance_centers_score"] = centers["scores"]
+    results["instance_centers_valid"] = centers["valid"]
+    results["instance_foreground"] = interleave_plane(fg_planes)
+    # raw head outputs in parity-plane layout (center, offset_y,
+    # offset_x[, orientation]); host consumers interleave on demand
+    results["instance_head_planes"] = planes
+
+    ori_flat = None
+    if c_head >= 5:
+        ori_flat = jnp.stack(
+            [planes[:, 3].reshape(n, p_total),
+             planes[:, 4].reshape(n, p_total)], axis=-1,
+        )
+        results["instance_orientation_planes"] = planes[:, 3:5]
+
+    pan = None
+    if getattr(cfg, "enable_panoptic", False):
+        pan = panoptic_merge_flat(
+            sem_full_planes.reshape(n, p_total),
+            score4.reshape(n, p_total),
+            inst_flat,
+            centers["scores"],
+            centers["valid"],
+            is_thing,
+            n_classes=n_classes_full,
+            orientation_vectors=ori_flat,
+        )
+        results["panoptic_segmentation_deeplab"] = interleave_plane(
+            pan["panoptic"].reshape(n, 4, h2, w2)
+        )
+        results["panoptic_segmentation_deeplab_panoptic_score"] = (
+            interleave_plane(
+                pan["panoptic_score"].astype(jnp.float32).reshape(
+                    n, 4, h2, w2
+                )
+            )
+        )
+        results["panoptic_segmentation_deeplab_semantic_idx"] = (
+            interleave_plane(
+                pan["pixel_instance_semantic"].reshape(n, 4, h2, w2)
+            )
+        )
+        results["panoptic_foreground_mask"] = results["instance_foreground"]
+        results["panoptic_instance_meta_semantic_idx"] = pan[
+            "instance_meta_semantic_idx"
+        ]
+        results["panoptic_instance_meta_area"] = pan["instance_meta_area"]
+        results["panoptic_instance_meta_score"] = pan["instance_meta_score"]
+        results["panoptic_instance_meta_valid"] = pan["instance_meta_valid"]
+
+    if ori_flat is not None:
+        if pan is not None and "instance_orientations" in pan:
+            results["orientations_instance"] = pan["instance_orientations"]
+        else:
+            # flat variant of aggregate_instance_orientations: the
+            # function only reshapes (N, H, W[, 2]) -> (N, P[, 2]), so
+            # feeding (N, P, 1[, 2]) flat tensors is exact
+            ors = aggregate_instance_orientations(
+                ori_flat[:, :, None, :],
+                inst_flat[:, :, None],
+                top_k=cfg.instance_center_heatmap_top_k,
+            )
+            results["orientations_instance"] = ors["instance_orientations"]
+        if (
+            use_orientations is not None
+            and "panoptic_instance_meta_semantic_idx" in results
+        ):
+            inst_sem = results["panoptic_instance_meta_semantic_idx"]
+            results["orientations_panoptic_instance_valid"] = (
+                use_orientations[inst_sem]
+                & results["panoptic_instance_meta_valid"]
+            )
 
     if "normal" in outputs:
         results["normal"] = outputs["normal"]["normal"]

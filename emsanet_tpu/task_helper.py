@@ -286,8 +286,16 @@ class OrientationTaskHelper(TaskHelperBase):
         self.mae = MeanAbsoluteAngularError()
 
     def validation_step(self, batch, predictions):
-        dense = np.asarray(predictions.get("instance_orientation"))
-        if dense is None:
+        if "instance_orientation" in predictions:
+            dense = np.asarray(predictions["instance_orientation"])
+        elif "instance_orientation_planes" in predictions:
+            # parity-plane layout (postprocessing planes pipeline):
+            # (N, 2, 4, H/2, W/2) -> dense (N, H, W, 2) on the host
+            from emsanet_tpu.postprocessing import interleave_planes_np
+
+            planes = np.asarray(predictions["instance_orientation_planes"])
+            dense = np.moveaxis(interleave_planes_np(planes), 1, -1)
+        else:
             return
         inst_gt = np.asarray(batch["instance"])
         gt_orients = batch.get("orientations_present") or batch.get(

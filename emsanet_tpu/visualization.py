@@ -263,6 +263,33 @@ def visualize_instance_orientations(
     return np.asarray(img)
 
 
+def dense_instance_maps(predictions, b):
+    """(center (H,W,1), offset (H,W,2), orientation (H,W,2)) for sample b.
+
+    Accepts both postprocessing layouts: the legacy dense keys
+    ('instance_centers' / 'instance_offsets' / 'instance_orientation')
+    and the parity-plane layout ('instance_head_planes' (N, C, 4, H/2,
+    W/2) — the TPU hot path never materializes the dense channel-minor
+    maps, so host consumers interleave here). Missing entries are None.
+    """
+    center = offset = orientation = None
+    if "instance_centers" in predictions:
+        center = np.asarray(predictions["instance_centers"][b])
+        offset = np.asarray(predictions["instance_offsets"][b])
+        if "instance_orientation" in predictions:
+            orientation = np.asarray(predictions["instance_orientation"][b])
+    elif "instance_head_planes" in predictions:
+        from emsanet_tpu.postprocessing import interleave_planes_np
+
+        planes = np.asarray(predictions["instance_head_planes"][b])
+        maps = interleave_planes_np(planes)  # (C, H, W)
+        center = maps[0][..., None]
+        offset = np.moveaxis(maps[1:3], 0, -1)
+        if maps.shape[0] >= 5:
+            orientation = np.moveaxis(maps[3:5], 0, -1)
+    return center, offset, orientation
+
+
 def blend(rgb: np.ndarray, overlay: np.ndarray, alpha: float = 0.5
           ) -> np.ndarray:
     rgb = np.asarray(rgb, np.float32)
@@ -325,18 +352,21 @@ def visualize_predictions(
                     np.asarray(predictions["instance_segmentation"][b])
                 ),
             )
-            _save_png(
-                os.path.join(output_path, "instance_center", f"{ident}.png"),
-                visualize_instance_center(
-                    np.asarray(predictions["instance_centers"][b])
-                ),
-            )
-            _save_png(
-                os.path.join(output_path, "instance_offset", f"{ident}.png"),
-                visualize_instance_offset(
-                    np.asarray(predictions["instance_offsets"][b])
-                ),
-            )
+            center, offset, _ = dense_instance_maps(predictions, b)
+            if center is not None:
+                _save_png(
+                    os.path.join(
+                        output_path, "instance_center", f"{ident}.png"
+                    ),
+                    visualize_instance_center(center),
+                )
+            if offset is not None:
+                _save_png(
+                    os.path.join(
+                        output_path, "instance_offset", f"{ident}.png"
+                    ),
+                    visualize_instance_offset(offset),
+                )
         if "panoptic_segmentation_deeplab" in predictions:
             _save_png(
                 os.path.join(output_path, "panoptic", f"{ident}.png"),
@@ -345,15 +375,17 @@ def visualize_predictions(
                     dataset_config,
                 ),
             )
-        if "instance_orientation" in predictions:
+        if (
+            "instance_orientation" in predictions
+            or "instance_orientation_planes" in predictions
+        ):
             fg = None
             if "panoptic_foreground_mask" in predictions:
                 fg = np.asarray(predictions["panoptic_foreground_mask"][b])
+            _, _, orientation = dense_instance_maps(predictions, b)
             _save_png(
                 os.path.join(output_path, "orientation", f"{ident}.png"),
-                visualize_orientation(
-                    np.asarray(predictions["instance_orientation"][b]), fg
-                ),
+                visualize_orientation(orientation, fg),
             )
         if (
             "orientations_instance" in predictions

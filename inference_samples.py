@@ -128,6 +128,9 @@ def main(argv=None):
         rgb_vis = np.asarray(
             Image.fromarray(raw["rgb"]).resize((w, h)), np.uint8
         )
+        from emsanet_tpu.visualization import dense_instance_maps
+
+        _center, _offset, _orientation = dense_instance_maps(preds, 0)
         panels = [
             ("rgb", rgb_vis),
             ("depth", visualize_depth(batch["depth"][0, ..., 0])),
@@ -138,11 +141,11 @@ def main(argv=None):
             ("instance", visualize_instance(preds["instance_segmentation"][0])
              if "instance_segmentation" in preds else np.zeros_like(rgb_vis)),
             ("instance_center",
-             visualize_instance_center(preds["instance_centers"][0])
-             if "instance_centers" in preds else np.zeros_like(rgb_vis)),
+             visualize_instance_center(_center)
+             if _center is not None else np.zeros_like(rgb_vis)),
             ("instance_offset",
-             visualize_instance_offset(preds["instance_offsets"][0])
-             if "instance_offsets" in preds else np.zeros_like(rgb_vis)),
+             visualize_instance_offset(_offset)
+             if _offset is not None else np.zeros_like(rgb_vis)),
             ("panoptic",
              visualize_panoptic(preds["panoptic_segmentation_deeplab"][0],
                                 ds_config)
@@ -150,9 +153,9 @@ def main(argv=None):
              else np.zeros_like(rgb_vis)),
             ("orientation",
              visualize_orientation(
-                 preds["instance_orientation"][0],
+                 _orientation,
                  preds.get("panoptic_foreground_mask", [None])[0])
-             if "instance_orientation" in preds else np.zeros_like(rgb_vis)),
+             if _orientation is not None else np.zeros_like(rgb_vis)),
         ]
         rows = []
         for r in range(2):

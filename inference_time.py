@@ -53,10 +53,18 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
 
     cfg.model.compute_dtype = dtype
     # fwd-only protocol honesty (see bench.py): the fully-deferred
-    # semantic decode moves the final upsample conv into postprocessing,
-    # so without postprocessing the decoder must keep it in the forward
+    # head decodes move the final upsample convs into postprocessing,
+    # so without postprocessing the decoder must keep them in the
+    # forward; with postprocessing pick the measured-best mode per batch
     if not with_postprocessing:
-        cfg.model.semantic_decode_fusion = "interleave"
+        cfg.model.head_decode_fusion = "interleave"
+    else:
+        # measured crossover (tools/mode_sweep.py): 'decode' wins at b1
+        # and large batches, 'decode-planes' at b2-b8
+        cfg.model.head_decode_fusion = (
+            "decode" if batch_size == 1 or batch_size >= 16
+            else "decode-planes"
+        )
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))

@@ -216,7 +216,7 @@ def test_deferred_head_falls_back_at_small_sizes():
 
 
 def test_decode_fusion_mode_matches_interleave_mode():
-    """semantic_decode_fusion='decode' (fused Pallas upsample+decode via
+    """head_decode_fusion='decode' (fused Pallas upsample+decode via
     postprocessing) must produce the same postprocess results as the
     'interleave' mode on the same weights (f32, CPU: exact idx, 1e-5
     score). 128x160 input puts the final x2 stage exactly at the
@@ -233,7 +233,7 @@ def test_decode_fusion_mode_matches_interleave_mode():
                 rgb_encoder_backbone="resnet18",
                 depth_encoder_backbone="resnet18",
                 fused_inference=True,
-                semantic_decode_fusion=mode,
+                head_decode_fusion=mode,
             ),
             data=DataConfig(dataset="synthetic"),
         ).validate()

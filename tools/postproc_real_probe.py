@@ -67,7 +67,7 @@ def main():
             compute_dtype="bfloat16",
             fused_inference=True,
             # this tool probes the y4c (polyphase-domain) stages
-            semantic_decode_fusion="interleave",
+            head_decode_fusion="interleave",
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()

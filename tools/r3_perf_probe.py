@@ -56,7 +56,7 @@ def build(batch, fused=True, decode_fusion="decode"):
             input_height=480, input_width=640,
             compute_dtype="bfloat16",
             fused_inference=fused,
-            semantic_decode_fusion=decode_fusion,
+            head_decode_fusion=decode_fusion,
         ),
         data=DataConfig(dataset="synthetic"),
     ).validate()
@@ -80,6 +80,8 @@ def main():
                     default=[1],
                     help="batch sizes for the fwd/e2e/postproc/boundary "
                     "breakdown (probe 2)")
+    ap.add_argument("--decode-fusion", default="decode",
+                    help="head_decode_fusion for probes 2/3")
     args = ap.parse_args()
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
@@ -96,7 +98,8 @@ def main():
 
     # ---- probe 2: per-batch breakdown -----------------------------------
     for b in args.breakdown_batches:
-        cfg1, model1, var1, is_thing1, rgb1, depth1 = build(b)
+        cfg1, model1, var1, is_thing1, rgb1, depth1 = build(
+            b, decode_fusion=args.decode_fusion)
         p1, s1 = var1["params"], var1.get("batch_stats")
 
         @jax.jit
@@ -135,7 +138,8 @@ def main():
     # ---- probe 3: batch sweep -------------------------------------------
     if not args.skip_sweep:
         for b in (2, 4, 8):
-            cfgb, modelb, varb, thingb, rgbb, depthb = build(b)
+            cfgb, modelb, varb, thingb, rgbb, depthb = build(
+                b, decode_fusion=args.decode_fusion)
             pb, sb = varb["params"], varb.get("batch_stats")
 
             @jax.jit
@@ -154,16 +158,21 @@ def _probe1(args):
     from emsanet_tpu.ops.polyphase_upsample import depth_to_space
     from emsanet_tpu.postprocessing import postprocess
 
-    # three e2e generations in one process:
+    # four e2e generations in one process:
     #   r2: interleave -> full-res decode
     #   r3: deferred-interleave polyphase decode
-    #   r4: fused Pallas upsample+decode megakernel (decode_input)
+    #   r4: semantic Pallas upsample+decode megakernel ('decode')
+    #   r5: both heads deferred + parity-plane postproc ('decode-planes')
     cfg, model, variables, is_thing, rgb, depth = build(
         32, decode_fusion="interleave"
     )
     cfg_k, model_k, var_k, _, _, _ = build(32, decode_fusion="decode")
+    cfg_p, model_p, var_p, _, _, _ = build(
+        32, decode_fusion="decode-planes"
+    )
     params, stats = variables["params"], variables.get("batch_stats")
     params_k, stats_k = var_k["params"], var_k.get("batch_stats")
+    params_p, stats_p = var_p["params"], var_p.get("batch_stats")
 
     def fwd(m, params, stats, rgb, depth):
         return m.apply(
@@ -175,6 +184,11 @@ def _probe1(args):
     def e2e_kernel(params, stats, rgb, depth):
         out = fwd(model_k, params, stats, rgb, depth)
         return scalar(postprocess(out, is_thing, cfg_k.model))
+
+    @jax.jit
+    def e2e_planes(params, stats, rgb, depth):
+        out = fwd(model_p, params, stats, rgb, depth)
+        return scalar(postprocess(out, is_thing, cfg_p.model))
 
     @jax.jit
     def e2e_new(params, stats, rgb, depth):
@@ -199,13 +213,17 @@ def _probe1(args):
     t_old = probe(e2e_old, params, stats, rgb, depth, runs=args.runs)
     t_new = probe(e2e_new, params, stats, rgb, depth, runs=args.runs)
     t_ker = probe(e2e_kernel, params_k, stats_k, rgb, depth, runs=args.runs)
+    t_pln = probe(e2e_planes, params_p, stats_p, rgb, depth,
+                  runs=args.runs)
     t_fwd = probe(fwd_only, params, stats, rgb, depth, runs=args.runs)
     print(f"b32 e2e r2 (interleave->decode):   {t_old*1e3:8.2f} ms "
           f"({32/t_old:.1f} fps)", flush=True)
     print(f"b32 e2e r3 (deferred decode):      {t_new*1e3:8.2f} ms "
           f"({32/t_new:.1f} fps)", flush=True)
-    print(f"b32 e2e r4 (Pallas decode kernel): {t_ker*1e3:8.2f} ms "
+    print(f"b32 e2e r4 (semantic kernel):      {t_ker*1e3:8.2f} ms "
           f"({32/t_ker:.1f} fps)", flush=True)
+    print(f"b32 e2e r5 (parity-plane postproc):{t_pln*1e3:8.2f} ms "
+          f"({32/t_pln:.1f} fps)", flush=True)
     print(f"b32 fwd-only (fused, interleave):  {t_fwd*1e3:8.2f} ms "
           f"({32/t_fwd:.1f} fps)", flush=True)
 
