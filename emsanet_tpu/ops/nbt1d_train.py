@@ -285,6 +285,8 @@ def _pair_bwd_kernel(
     b31_ref,    # (1, C) f32
     w13_ref,    # (3, C, C)
     b13_ref,    # (1, C) f32
+    w31t_ref,   # (C, 3C) — [w31[0].T | w31[1].T | w31[2].T]
+    w13t_ref,   # (C, 3C) — [w13[0].T | w13[1].T | w13[2].T]
     gsums_ref,  # (2, C) f32 — cotangent of the sums output
     gu_ref,     # out (1, TILE, W, C) blocked
     gs_ref,     # out (1, C) f32 accumulator
@@ -303,6 +305,7 @@ def _pair_bwd_kernel(
     tiles_per_image: int,
     img_h: int,
     padded: bool,
+    stacked: bool,
 ):
     halo_u, halo_g = 2, 1
     ru = tile_h + 2 * halo_u
@@ -398,19 +401,40 @@ def _pair_bwd_kernel(
     dy_own_f = dy * own_u  # tile-own rows: each output pixel counted once
     dy_own = dy_own_f.astype(cdtype)
 
+    c = dy_c.shape[-1]
+
     # ---- conv1x3 backward: y[w] = Σ a[w-1]w0 + a[w]w1 + a[w+1]w2
-    gw13_new = jnp.stack([
-        _wgrad(_shift_cols(a, -1), dy_own),
-        _wgrad(a, dy_own),
-        _wgrad(_shift_cols(a, +1), dy_own),
-    ])
+    # stacked=True: tap-concatenated forms — ONE (P, C)x(C, 3C) /
+    # (P, 3C)x(P, C) MXU matmul instead of three (C, C) ones. Identical
+    # per-column sums (concat along a non-contracted dim), so grads stay
+    # bit-exact; col/row shifts commute with the 1x1 matmuls (zero rows
+    # map to 0). stacked=False keeps the per-tap form as the A/B oracle.
+    if stacked:
+        a3 = jnp.concatenate(
+            [_shift_cols(a, -1), a, _shift_cols(a, +1)], axis=-1
+        )  # (RU, W, 3C)
+        gw13_new = _wgrad(a3, dy_own).reshape(3, c, c)
+    else:
+        gw13_new = jnp.stack([
+            _wgrad(_shift_cols(a, -1), dy_own),
+            _wgrad(a, dy_own),
+            _wgrad(_shift_cols(a, +1), dy_own),
+        ])
     gb13_new = jnp.sum(dy_own_f, axis=(0, 1))
 
-    da = (
-        _tap(_shift_cols(dy_c, +1), w13_ref[0].T)
-        + _tap(dy_c, w13_ref[1].T)
-        + _tap(_shift_cols(dy_c, -1), w13_ref[2].T)
-    )
+    if stacked:
+        parts = _tap(dy_c, w13t_ref[...])  # (RU, W, 3C), f32 accum
+        da = (
+            _shift_cols(parts[..., :c], +1)
+            + parts[..., c : 2 * c]
+            + _shift_cols(parts[..., 2 * c :], -1)
+        )
+    else:
+        da = (
+            _tap(_shift_cols(dy_c, +1), w13_ref[0].T)
+            + _tap(dy_c, w13_ref[1].T)
+            + _tap(_shift_cols(dy_c, -1), w13_ref[2].T)
+        )
     da = da * (a_f > 0).astype(accdt)
     da_c = da.astype(cdtype)
     da_own_f = da * own_u
@@ -418,18 +442,32 @@ def _pair_bwd_kernel(
 
     # ---- conv3x1 backward (input v was image-row masked in the forward)
     vm = v * img_u
-    gw31_new = jnp.stack([
-        _wgrad(_shift_rows(vm, -1), da_own),
-        _wgrad(vm, da_own),
-        _wgrad(_shift_rows(vm, +1), da_own),
-    ])
+    if stacked:
+        vm3 = jnp.concatenate(
+            [_shift_rows(vm, -1), vm, _shift_rows(vm, +1)], axis=-1
+        )  # (RU, W, 3C)
+        gw31_new = _wgrad(vm3, da_own).reshape(3, c, c)
+    else:
+        gw31_new = jnp.stack([
+            _wgrad(_shift_rows(vm, -1), da_own),
+            _wgrad(vm, da_own),
+            _wgrad(_shift_rows(vm, +1), da_own),
+        ])
     gb31_new = jnp.sum(da_own_f, axis=(0, 1))
 
-    dv = (
-        _tap(_shift_rows(da_c, +1), w31_ref[0].T)
-        + _tap(da_c, w31_ref[1].T)
-        + _tap(_shift_rows(da_c, -1), w31_ref[2].T)
-    ) * img_f  # d(v * mask)/dv
+    if stacked:
+        qarts = _tap(da_c, w31t_ref[...])  # (RU, W, 3C), f32 accum
+        dv = (
+            _shift_rows(qarts[..., :c], +1)
+            + qarts[..., c : 2 * c]
+            + _shift_rows(qarts[..., 2 * c :], -1)
+        ) * img_f  # d(v * mask)/dv
+    else:
+        dv = (
+            _tap(_shift_rows(da_c, +1), w31_ref[0].T)
+            + _tap(da_c, w31_ref[1].T)
+            + _tap(_shift_rows(da_c, -1), w31_ref[2].T)
+        ) * img_f
 
     # ---- prologue backward
     if mode == "affine":
@@ -538,14 +576,21 @@ def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "interpret", "tile_h", "force_padded")
+    jax.jit,
+    static_argnames=("mode", "interpret", "tile_h", "force_padded",
+                     "stacked"),
 )
 def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
-              interpret=False, tile_h=None, force_padded=False):
+              interpret=False, tile_h=None, force_padded=False,
+              stacked=True):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
     if tile_h is None:
-        tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 2, 10)
+        # stacked mode holds tap-concatenated 3C temporaries on top of
+        # the 10 base streams
+        n_streams = 20 if stacked else 10
+        tile_h = _pick_tile(h, w, c, jnp.dtype(u.dtype).itemsize, 2,
+                            n_streams)
     tiles = h // tile_h
     ru = tile_h + 4
     rg = tile_h + 2
@@ -564,7 +609,7 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
     kernel = functools.partial(
         _pair_bwd_kernel,
         mode=mode, tile_h=tile_h, tiles_per_image=tiles, img_h=h,
-        padded=padded,
+        padded=padded, stacked=stacked,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.MemorySpace.VMEM)
     const = lambda *shape: pl.BlockSpec(
@@ -578,6 +623,7 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            vmem(), vmem(),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -614,6 +660,12 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
         b31.reshape(1, c).astype(f32),
         w13.astype(cdtype),
         b13.reshape(1, c).astype(f32),
+        jnp.concatenate(
+            [w31.astype(cdtype)[i].T for i in range(3)], axis=1
+        ),
+        jnp.concatenate(
+            [w13.astype(cdtype)[i].T for i in range(3)], axis=1
+        ),
         gsums.astype(f32),
     )
     gu, gs, gt, gw31, gb31, gw13, gb13 = outs
@@ -623,6 +675,12 @@ def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
 # force the XLA-row-pad kernel variants (A/B knob; read at trace time by
 # chain_train and threaded through as a static arg)
 FORCE_PADDED = False
+# tap-concatenated backward matmuls (3x fewer MXU calls, bit-exact) —
+# measured SLOWER in-graph: train b8 75.8 (per-tap) vs 90.6 ms (stacked)
+# in one process (tools/train_ab.py --ab-stacked); the lane-axis concats
+# building the (R, W, 3C) operands cost more than the saved MXU calls.
+# Kept as a trace-time A/B knob; per-tap is the default.
+STACKED_BWD = False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -653,6 +711,7 @@ def _pair_vjp_bwd(mode, interpret, force_padded, res, cots):
     gu, gs, gt, gw31, gb31, gw13, gb13 = _pair_bwd(
         u, s, t, w31, b31, w13, b13, gy, gsums, mode=mode,
         interpret=interpret, force_padded=force_padded,
+        stacked=STACKED_BWD,
     )
     if mode == "plain":
         gs = jnp.zeros_like(s)

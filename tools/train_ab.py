@@ -91,6 +91,9 @@ def main():
                     help="A/B the fused variant at these pairs_supported "
                     "MIN_PIXELS gates in one process (default: module "
                     "default only)")
+    ap.add_argument("--ab-stacked", action="store_true",
+                    help="A/B the tap-concatenated backward matmuls vs "
+                    "the per-tap form (nbt1d_train.STACKED_BWD)")
     ap.add_argument("--ab-padded", action="store_true",
                     help="for each gate, A/B the XLA-row-pad kernels vs "
                     "the clamped-DMA kernels in one process")
@@ -111,14 +114,20 @@ def main():
 
     gates = args.min_pixels or [nbt1d_train.MIN_PIXELS]
     paddings = (True, False) if args.ab_padded else (None,)
+    stackings = (False, True) if args.ab_stacked else (None,)
     for gate in gates:
         nbt1d_train.MIN_PIXELS = gate
         for pad in paddings:
+          for stk in stackings:
             if pad is not None:
                 nbt1d_train.FORCE_PADDED = pad
+            if stk is not None:
+                nbt1d_train.STACKED_BWD = stk
             label = f"train step (fused pairs, gate={gate}"
             if pad is not None:
                 label += f", padded={pad}"
+            if stk is not None:
+                label += f", stacked={stk}"
             cfg_f, model_f, variables_f = build(n, 480, 640,
                                                 fused_training=True)
             t_fused = time_train(label + ")", cfg_f, model_f,
