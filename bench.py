@@ -61,7 +61,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
+    from emsanet_tpu.config import (DataConfig, EMSANetConfig, ModelConfig,
+                                    best_head_decode_fusion)
     from emsanet_tpu.datasets.registry import get_dataset_config
     from emsanet_tpu.models import EMSANet, init_model
     from emsanet_tpu.postprocessing import postprocess
@@ -76,19 +77,10 @@ def main():
             depth_encoder_backbone="resnet34" if not args.quick else "resnet18",
             compute_dtype=args.dtype,
             fused_inference=not args.no_fused,
-            # fwd-only protocol honesty: without postprocessing the
-            # decoder must still run the final head upsample convs
-            # inside the forward ('interleave'). With postprocessing the
-            # fused Pallas decode paths take over; the winner is batch-
-            # dependent (tools/mode_sweep.py, one process, v5e 640x480):
-            #   b1: decode 4.53 / planes 6.27 ms
-            #   b2: 13.65 / 10.26   b4: 21.63 / 15.77   b8: 25.77 / 22.87
-            #   b32: 58.76 / 74.40
-            # -> 'decode' at b1 and >=16, 'decode-planes' in between.
-            head_decode_fusion=(
-                "interleave" if not args.with_postprocessing
-                else ("decode" if args.batch_size == 1
-                      or args.batch_size >= 16 else "decode-planes")
+            # measured-best decode mode per batch (fwd-only runs keep
+            # the head convs in the forward for protocol comparability)
+            head_decode_fusion=best_head_decode_fusion(
+                args.batch_size, args.with_postprocessing
             ),
         ),
         data=DataConfig(dataset="synthetic"),

@@ -357,6 +357,25 @@ class TrainConfig:
     mixed_precision: bool = False  # bf16 compute in train step
 
 
+def best_head_decode_fusion(batch_size: int,
+                            with_postprocessing: bool = True) -> str:
+    """Measured-best `ModelConfig.head_decode_fusion` for a batch size.
+
+    One-process sweep on v5e 640x480 bf16 (tools/mode_sweep.py):
+      b1: decode 4.53 / planes 6.27 ms     b2: 13.65 / 10.26
+      b4: 21.63 / 15.77                    b8: 25.77 / 22.87
+      b32: 58.76 / 74.40
+    -> 'decode' at b1 and >=16, 'decode-planes' in between. Without
+    postprocessing the heads must stay in the forward ('interleave')
+    for fwd-only protocol comparability.
+    """
+    if not with_postprocessing:
+        return "interleave"
+    if batch_size == 1 or batch_size >= 16:
+        return "decode"
+    return "decode-planes"
+
+
 @dataclass
 class EMSANetConfig:
     """Top-level config bundle with reference validation rules applied."""

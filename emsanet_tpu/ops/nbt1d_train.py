@@ -582,7 +582,7 @@ def _pair_fwd(u, s, t, w31, b31, w13, b13, *, mode, interpret=False,
 )
 def _pair_bwd(u, s, t, w31, b31, w13, b13, gy, gsums, *, mode,
               interpret=False, tile_h=None, force_padded=False,
-              stacked=True):
+              stacked=False):
     interpret = _should_interpret(interpret)
     n, h, w, c = u.shape
     if tile_h is None:

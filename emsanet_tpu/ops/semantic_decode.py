@@ -108,16 +108,17 @@ def _realign(buf, shift):
 
 
 def _decode_kernel(
-    x_ref,       # (N, H2, C, W2) channel-major — HBM
-    kp_ref,      # (9, 4, C, 1) f32 VMEM: tap (di*3+dj), parity, channel
+    x_ref,       # (N, H2, Cp, W2) channel-major — HBM
+    kp_ref,      # (9, 4, Cp, 1) f32 VMEM: tap (di*3+dj), parity, channel
     idx_ref,     # out (1, 4, TILE, W2) int32 blocked
     score_ref,   # out (1, 4, TILE, W2) f32 blocked
-    in_buf,      # scratch (2, R, C, W2)
+    in_buf,      # scratch (2, R, Cp, W2)
     sems,        # DMA semaphores (2,)
     *,
     tile_h: int,
     tiles_per_image: int,
     img_h: int,
+    n_classes: int,
     padded: bool,
 ):
     r = tile_h + 2
@@ -175,8 +176,19 @@ def _decode_kernel(
                 term = tap * kp_ref[t, p]  # (C, 1) lane-splat broadcast
                 accs[p] = term if accs[p] is None else accs[p] + term
 
+    # padded class channels (Cp > n_classes) must never win the argmax
+    # or contribute to sumexp
+    cp = x.shape[1]
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+    class_mask = ch_ids < n_classes
+
     for p in range(4):
-        own = accs[p][1 : 1 + tile_h]  # (TILE, C, W2) f32
+        # round through the compute dtype: the interleave/legacy paths
+        # argmax the conv output in the compute dtype (bf16 on TPU), so
+        # keeping unrounded f32 here would flip near-tie argmaxes and
+        # make predictions depend on the decode-fusion mode
+        own = accs[p][1 : 1 + tile_h].astype(x.dtype).astype(jnp.float32)
+        own = jnp.where(class_mask, own, -jnp.inf)
         idx = jnp.argmax(own, axis=1).astype(jnp.int32)  # (TILE, W2)
         mx = jnp.max(own, axis=1)
         sumexp = jnp.sum(jnp.exp(own - mx[:, None, :]), axis=1)
@@ -209,20 +221,29 @@ def semantic_decode_fused_planes(
     # channel-major: W on lanes, classes on sublanes (XLA composes this
     # transpose with the producing depth-to-space transpose)
     xt = jnp.transpose(x, (0, 1, 3, 2))  # (N, H2, C, W2)
-    # Mosaic HBM slices must be 128-aligned on lanes; pad W with REAL
-    # zeros (exactly the SAME-zero-pad the conv needs at the right edge)
+    # Mosaic HBM DMA slices must be (8, 128)-aligned on the last two
+    # dims: pad W with REAL zeros (exactly the SAME-zero-pad the conv
+    # needs at the right edge) AND the class dim to 8s (padded classes
+    # are masked to -inf before the argmax/sumexp — e.g. SUNRGB-D's 37
+    # classes are not 8-aligned)
     wp = -(-w2 // 128) * 128
-    if wp != w2:
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, wp - w2)))
+    cp = -(-c // 8) * 8
+    if wp != w2 or cp != c:
+        xt = jnp.pad(
+            xt, ((0, 0), (0, 0), (0, cp - c), (0, wp - w2))
+        )
     kp = polyphase_kernels(kernel)  # (3, 3, 1, 4C) c-major c*4+p
     # round through the compute dtype (the conv path casts kp to x.dtype;
     # bf16xbf16 products are exact in f32, so the f32 FMA tree matches),
     # then (tap, parity, channel, 1) for sublane-aligned lane broadcast
     kp = kp.reshape(9, c, 4).astype(x.dtype).astype(jnp.float32)
-    kp = jnp.transpose(kp, (0, 2, 1))[..., None]  # (9, 4, C, 1)
+    kp = jnp.transpose(kp, (0, 2, 1))  # (9, 4, C)
+    if cp != c:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cp - c)))
+    kp = kp[..., None]  # (9, 4, Cp, 1)
 
     if tile_h is None:
-        tile_h = _pick_tile(h2, wp, c, jnp.dtype(x.dtype).itemsize)
+        tile_h = _pick_tile(h2, wp, cp, jnp.dtype(x.dtype).itemsize)
     tiles = h2 // tile_h
     r = tile_h + 2
     padded = r > h2  # tiny images: no in-bounds halo window; pad via XLA
@@ -234,6 +255,7 @@ def semantic_decode_fused_planes(
         tile_h=tile_h,
         tiles_per_image=tiles,
         img_h=h2,
+        n_classes=c,
         padded=padded,
     )
     idx4, score4 = pl.pallas_call(
@@ -260,7 +282,7 @@ def semantic_decode_fused_planes(
             jax.ShapeDtypeStruct((n, 4, h2, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, r, c, wp), xt.dtype),
+            pltpu.VMEM((2, r, cp, wp), xt.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

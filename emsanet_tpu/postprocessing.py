@@ -143,18 +143,19 @@ def _nms_keep_mask_planes(hm: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
 
     hm: (N, 2, 2, H/2, W/2) parity planes [p][q] of the interleaved
     (N, H, W) heatmap (full-res pixel (2i+p, 2j+q) = hm[:, p, q, i, j]).
-    A k-tap max window on the interleaved axis decomposes into a
-    same-parity window of offsets e in [-m//2, m//2] and a cross-parity
-    window whose offsets depend on the own parity p:
-      cross rows 2(i+e')+(1-p), delta = 2e'+1-2p, |delta| <= m
-      => e' in [-((m+1-2p)//2), (m-1+2p)//2].
-    Separable over rows then columns like the full-res path.
+    reduce_window SAME padding gives the full-res window offsets
+    [lo, hi] = [-(k-1)//2, k//2] (asymmetric for even k). It decomposes
+    into a same-parity window (2e in [lo, hi]) and a cross-parity
+    window that depends on the own parity p (cross rows 2(i+e')+(1-p),
+    delta = 2e'+1-2p in [lo, hi]). Separable over rows then columns
+    like the full-res path; bitwise identical for any kernel_size.
     """
-    m = (kernel_size - 1) // 2
-    s_lo, s_hi = -(m // 2), m // 2
+    lo_f, hi_f = -((kernel_size - 1) // 2), kernel_size // 2
+    # ceil(x/2) = (x+1)//2 with python floor division
+    s_lo, s_hi = (lo_f + 1) // 2, hi_f // 2
 
     def bounds(par):
-        return -((m + 1 - 2 * par) // 2), (m - 1 + 2 * par) // 2
+        return (lo_f + 2 * par) // 2, (hi_f - 1 + 2 * par) // 2
 
     rp = []
     for p in (0, 1):
@@ -189,9 +190,8 @@ def find_instance_centers_planes(
 ) -> Dict[str, jnp.ndarray]:
     """`find_instance_centers` on (N, 4, H/2, W/2) parity planes.
 
-    Returns the same structure ('yx' in FULL-RES coordinates, 'scores',
-    'valid') plus 'flat_idx' into the parity-major flat pixel order
-    (parity*h2*w2 + i*w2 + j) used by the planes pipeline.
+    Returns the same structure as the full-res variant: 'yx' in
+    FULL-RES coordinates, 'scores', 'valid'.
     """
     n, four, h2, w2 = heatmap_planes.shape
     hm = heatmap_planes
@@ -210,9 +210,7 @@ def find_instance_centers_planes(
     ys = 2 * (rem // w2) + par // 2
     xs = 2 * (rem % w2) + par % 2
     yx = jnp.stack([ys.astype(jnp.int32), xs.astype(jnp.int32)], axis=-1)
-    return {
-        "yx": yx, "scores": scores, "valid": valid, "flat_idx": flat_idx
-    }
+    return {"yx": yx, "scores": scores, "valid": valid}
 
 
 def group_pixels_to_instances_planes(

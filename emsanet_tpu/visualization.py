@@ -345,6 +345,9 @@ def visualize_predictions(
                     np.asarray(predictions["semantic_segmentation_score"][b])
                 ),
             )
+        # one host-side plane interleave per sample feeds the center /
+        # offset / orientation renderers below
+        center, offset, orientation = dense_instance_maps(predictions, b)
         if "instance_segmentation" in predictions:
             _save_png(
                 os.path.join(output_path, "instance", f"{ident}.png"),
@@ -352,7 +355,6 @@ def visualize_predictions(
                     np.asarray(predictions["instance_segmentation"][b])
                 ),
             )
-            center, offset, _ = dense_instance_maps(predictions, b)
             if center is not None:
                 _save_png(
                     os.path.join(
@@ -375,14 +377,10 @@ def visualize_predictions(
                     dataset_config,
                 ),
             )
-        if (
-            "instance_orientation" in predictions
-            or "instance_orientation_planes" in predictions
-        ):
+        if orientation is not None:
             fg = None
             if "panoptic_foreground_mask" in predictions:
                 fg = np.asarray(predictions["panoptic_foreground_mask"][b])
-            _, _, orientation = dense_instance_maps(predictions, b)
             _save_png(
                 os.path.join(output_path, "orientation", f"{ident}.png"),
                 visualize_orientation(orientation, fg),

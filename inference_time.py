@@ -52,19 +52,13 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
     from emsanet_tpu.utils.timing import queue_difference_timing, scalar_probe
 
     cfg.model.compute_dtype = dtype
-    # fwd-only protocol honesty (see bench.py): the fully-deferred
-    # head decodes move the final upsample convs into postprocessing,
-    # so without postprocessing the decoder must keep them in the
-    # forward; with postprocessing pick the measured-best mode per batch
-    if not with_postprocessing:
-        cfg.model.head_decode_fusion = "interleave"
-    else:
-        # measured crossover (tools/mode_sweep.py): 'decode' wins at b1
-        # and large batches, 'decode-planes' at b2-b8
-        cfg.model.head_decode_fusion = (
-            "decode" if batch_size == 1 or batch_size >= 16
-            else "decode-planes"
-        )
+    from emsanet_tpu.config import best_head_decode_fusion
+
+    # fwd-only runs keep the head convs in the forward for protocol
+    # comparability; otherwise the measured-best mode per batch applies
+    cfg.model.head_decode_fusion = best_head_decode_fusion(
+        batch_size, with_postprocessing
+    )
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))

@@ -23,7 +23,7 @@ from emsanet_tpu.postprocessing import (
 )
 
 
-@pytest.mark.parametrize("k", [1, 3, 5, 9, 17])
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 9, 16, 17])
 def test_nms_planes_matches_fullres(k):
     rng = np.random.RandomState(k)
     full = jnp.asarray(rng.rand(2, 24, 32), jnp.float32)

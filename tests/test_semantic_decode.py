@@ -66,3 +66,40 @@ def test_fused_decode_grad_free_path_jits():
     idx, score = jax.jit(semantic_decode_fused)(x, k)
     assert idx.shape == (1, 16, 32)
     assert score.dtype == jnp.float32
+
+
+def test_fused_decode_bf16_rounding_parity():
+    """At bf16 (the production compute dtype) the kernel must round the
+    conv accumulators through bf16 before argmax — otherwise decode-mode
+    predictions diverge from the interleave/legacy modes on near-tie
+    pixels and become batch-size-dependent (the mode is picked per
+    batch)."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 30, 128, 40), np.float32).astype(
+        jnp.bfloat16
+    )
+    k = jnp.asarray(rng.randn(3, 3, 1, 40), jnp.float32)
+    idx, score = semantic_decode_fused(x, k)
+    ridx, rscore = semantic_decode_reference(x, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(rscore, np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+@pytest.mark.parametrize("c", [5, 37])
+def test_fused_decode_non_8_aligned_classes(c):
+    """Class counts not divisible by 8 (e.g. SUNRGB-D's 37) ride zero-
+    padded channels that are masked to -inf before argmax/sumexp."""
+    rng = np.random.RandomState(c)
+    x = jnp.asarray(rng.randn(1, 8, 16, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, c), jnp.float32)
+    idx, score = semantic_decode_fused(x, k)
+    ridx, rscore = semantic_decode_reference(x, k)
+    assert int(np.asarray(idx).max()) < c
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(rscore, np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
