@@ -196,6 +196,11 @@ class ModelConfig:
     #   Pallas upsample+decode megakernel (ops/semantic_decode.py;
     #   14.4 -> 7.3 ms at b32, e2e b32 78.0 -> 64.5 ms). The instance
     #   head stays in the forward. Best THROUGHPUT configuration.
+    # 'decode-both': BOTH heads defer to their Pallas kernels
+    #   (ops/semantic_decode.py + ops/instance_head.py) but the
+    #   postprocessing stays in the interleaved (full-res) domain: the
+    #   instance kernel's parity planes are interleaved into the legacy
+    #   center/offset/orientation maps before NMS/grouping.
     # 'decode-planes': BOTH heads defer; the whole postprocessing runs
     #   in the parity-plane domain (ops/instance_head.py +
     #   postprocessing._postprocess_planes) and only final maps are
@@ -361,17 +366,21 @@ def best_head_decode_fusion(batch_size: int,
                             with_postprocessing: bool = True) -> str:
     """Measured-best `ModelConfig.head_decode_fusion` for a batch size.
 
-    One-process sweep on v5e 640x480 bf16 (tools/mode_sweep.py):
-      b1: decode 4.53 / planes 6.27 ms     b2: 13.65 / 10.26
-      b4: 21.63 / 15.77                    b8: 25.77 / 22.87
-      b32: 58.76 / 74.40
-    -> 'decode' at b1 and >=16, 'decode-planes' in between. Without
+    One-process sweeps on v5e 640x480 bf16 (tools/mode_sweep.py +
+    tools/decode_ab.py, two sessions):
+      b1:  decode 4.53-8.34 / planes 6.27-6.15 ms (planes STABLE
+           across sessions; decode swings with the Pallas-DMA drift
+           regime — see CLAUDE.md timing notes)
+      b2:  13.65 / 10.26    b4: 21.63 / 15.77    b8: 25.77 / 22.87
+      b32: decode 58.8-73.6 / planes 73.7-74.4
+    -> 'decode-planes' below 16, 'decode' at >=16 ('decode-both' ties
+    'decode' at b32: 73.75 vs 73.60 in one process). Without
     postprocessing the heads must stay in the forward ('interleave')
     for fwd-only protocol comparability.
     """
     if not with_postprocessing:
         return "interleave"
-    if batch_size == 1 or batch_size >= 16:
+    if batch_size >= 16:
         return "decode"
     return "decode-planes"
 
@@ -416,11 +425,12 @@ class EMSANetConfig:
             m.encoder_fusion = "none"
 
         if m.head_decode_fusion not in (
-            "decode", "decode-planes", "interleave"
+            "decode", "decode-both", "decode-planes", "interleave"
         ):
             raise ValueError(
-                "head_decode_fusion must be 'decode', 'decode-planes' or "
-                f"'interleave', got '{m.head_decode_fusion}'"
+                "head_decode_fusion must be 'decode', 'decode-both', "
+                f"'decode-planes' or 'interleave', got "
+                f"'{m.head_decode_fusion}'"
             )
 
         # multiscale supervision forced off for decoders without side

@@ -306,7 +306,8 @@ class DenseDecoder(nn.Module):
                     (self.task == "semantic"
                      and self.head_decode_fusion.startswith("decode"))
                     or (self.task == "instance"
-                        and self.head_decode_fusion == "decode-planes")
+                        and self.head_decode_fusion
+                        in ("decode-planes", "decode-both"))
                 )
             ),
             dtype=self.dtype, name="head_upsampling"

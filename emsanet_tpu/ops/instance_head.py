@@ -170,12 +170,25 @@ def _head_kernel(
     sig = chan_mask(ENC_SIGMOID)
     tnh = chan_mask(ENC_TANH)
 
+    # each parity reads only 2 distinct input rows and columns (5 of
+    # the 9 polyphase tap weights are structurally zero — see
+    # ops/semantic_decode._decode_kernel); skip them at trace time
+    def _parity_uses(par: int, shift_idx: int) -> bool:
+        return shift_idx in ((0, 1) if par == 0 else (1, 2))
+
+    taps = {}
     for p in range(4):
         acc = None
         for di in range(3):
+            if not _parity_uses(p // 2, di):
+                continue
             for dj in (-1, 0, 1):
+                if not _parity_uses(p % 2, dj + 1):
+                    continue
                 t = di * 3 + (dj + 1)
-                term = _shift_cols(rows[di], dj) * kp_ref[t, p]
+                if (di, dj) not in taps:
+                    taps[di, dj] = _shift_cols(rows[di], dj)
+                term = taps[di, dj] * kp_ref[t, p]
                 acc = term if acc is None else acc + term
         # round through the compute dtype for parity with the production
         # path (the conv emits compute dtype, encode reads it)

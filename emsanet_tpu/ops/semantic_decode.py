@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # scoped-vmem limit is 16 MB
 
+# Trace-time A/B hook for tools/decode_ab.py ONLY: accumulate all 9
+# polyphase taps per parity (the pre-optimization form) instead of
+# skipping the 5 structurally-zero ones. Results are bitwise identical
+# either way; production always uses the skipping (False) form.
+_AB_FULL_TAPS = False
+
 
 def _pick_tile(h: int, w: int, c: int, itemsize: int) -> int:
     """Largest divisor row-tile fitting input buffers + f32 accumulator.
@@ -167,20 +173,39 @@ def _decode_kernel(
     xf = x.astype(jnp.float32)
     rows = [_shift_rows(xf, -1), xf, _shift_rows(xf, +1)]
 
+    # polyphase structure: nearest-x2 + 3x3 means each output parity
+    # reads only TWO distinct input rows (row-parity 0: shifts {-1, 0};
+    # row-parity 1: {0, +1}) and two distinct input columns — so 5 of
+    # the 9 tap weights per parity are structurally ZERO
+    # (ops/polyphase_upsample._PARITY_MAP). Skipping them at trace time
+    # drops the accumulation from 36 to 16 VPU FMAs (bitwise-identical:
+    # the skipped terms are exact +-0).
+    def _parity_uses(par: int, shift_idx: int) -> bool:
+        if _AB_FULL_TAPS:
+            return True
+        return shift_idx in ((0, 1) if par == 0 else (1, 2))
+
     accs = [None] * 4
     for di in range(3):
         for dj in (-1, 0, 1):
             t = di * 3 + (dj + 1)
-            tap = _shift_cols(rows[di], dj)
+            tap = None
             for p in range(4):
+                if not (_parity_uses(p // 2, di)
+                        and _parity_uses(p % 2, dj + 1)):
+                    continue
+                if tap is None:
+                    tap = _shift_cols(rows[di], dj)
                 term = tap * kp_ref[t, p]  # (C, 1) lane-splat broadcast
                 accs[p] = term if accs[p] is None else accs[p] + term
 
     # padded class channels (Cp > n_classes) must never win the argmax
-    # or contribute to sumexp
+    # or contribute to sumexp; the mask is trace-time-skipped when the
+    # class dim needed no padding
     cp = x.shape[1]
-    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
-    class_mask = ch_ids < n_classes
+    if n_classes < cp:
+        ch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+        class_mask = ch_ids < n_classes
 
     for p in range(4):
         # round through the compute dtype: the interleave/legacy paths
@@ -188,7 +213,8 @@ def _decode_kernel(
         # keeping unrounded f32 here would flip near-tie argmaxes and
         # make predictions depend on the decode-fusion mode
         own = accs[p][1 : 1 + tile_h].astype(x.dtype).astype(jnp.float32)
-        own = jnp.where(class_mask, own, -jnp.inf)
+        if n_classes < cp:
+            own = jnp.where(class_mask, own, -jnp.inf)
         idx = jnp.argmax(own, axis=1).astype(jnp.int32)  # (TILE, W2)
         mx = jnp.max(own, axis=1)
         sumexp = jnp.sum(jnp.exp(own - mx[:, None, :]), axis=1)

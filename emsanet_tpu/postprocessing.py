@@ -708,9 +708,13 @@ def postprocess(
         and "decode_input" in outputs["semantic"]
         and "instance" in outputs
         and "decode_input" in outputs["instance"]
+        and getattr(cfg, "head_decode_fusion", "decode") != "decode-both"
     ):
         # both heads fully deferred: run the parity-plane pipeline
-        # (everything in parity-major order; interleave only final maps)
+        # (everything in parity-major order; interleave only final maps).
+        # 'decode-both' instead falls through: both head KERNELS run but
+        # the instance planes are interleaved into the legacy full-res
+        # maps and the interleaved postprocessing pipeline takes over.
         return _postprocess_planes(
             outputs, is_thing, cfg,
             gt_foreground=gt_foreground,

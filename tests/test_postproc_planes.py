@@ -153,3 +153,56 @@ def test_planes_pipeline_matches_interleaved():
         np.moveaxis(ori, 1, -1), np.asarray(res_i["instance_orientation"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_decode_both_matches_interleaved():
+    """'decode-both': both head kernels + interleaved legacy postproc."""
+    from emsanet_tpu.models import init_model
+    from emsanet_tpu.postprocessing import postprocess
+
+    cfg_b, model_b, ds = _build("decode-both")
+    cfg_i, model_i, _ = _build("interleave")
+    variables = init_model(model_b, jax.random.PRNGKey(0))
+    is_thing = jnp.asarray(ds.semantic_label_list.classes_is_thing)
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(2, 128, 160, 3), jnp.float32),
+        "depth": jnp.asarray(rng.randn(2, 128, 160, 1), jnp.float32),
+    }
+
+    out_b = model_b.apply(variables, batch, train=False)
+    out_i = model_i.apply(variables, batch, train=False)
+    assert "decode_input" in out_b["semantic"]
+    assert "decode_input" in out_b["instance"]
+
+    res_b = postprocess(out_b, is_thing, cfg_b.model)
+    res_i = postprocess(out_i, is_thing, cfg_i.model)
+
+    exact_keys = [
+        "semantic_segmentation_idx",
+        "instance_segmentation",
+        "instance_foreground",
+        "panoptic_segmentation_deeplab",
+        "panoptic_segmentation_deeplab_semantic_idx",
+        "panoptic_foreground_mask",
+        "panoptic_instance_meta_semantic_idx",
+        "panoptic_instance_meta_area",
+        "scene_class_idx",
+    ]
+    for key in exact_keys:
+        np.testing.assert_array_equal(
+            np.asarray(res_b[key]), np.asarray(res_i[key]), err_msg=key
+        )
+    close_keys = [
+        "semantic_segmentation_score",
+        "panoptic_segmentation_deeplab_panoptic_score",
+        "orientations_instance",
+        "instance_centers",
+        "instance_offsets",
+        "instance_orientation",
+    ]
+    for key in close_keys:
+        np.testing.assert_allclose(
+            np.asarray(res_b[key]), np.asarray(res_i[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
