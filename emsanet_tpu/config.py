@@ -182,6 +182,13 @@ class ModelConfig:
     # unchanged; the train step merges sowed BN updates ('fused_bn'
     # collection). Off by default.
     fused_training: bool = False
+    # with fused_training: the semantic head's final x2 upsample + the
+    # full-res weighted CE run as one Pallas kernel with custom VJP
+    # (ops/semantic_train_head.py) — the 196 MB/b8 full-res logits
+    # tensor (and its nearest-x2 input broadcast and dlogits) never
+    # materialize. Loss/grads match the unfused path to bf16 rounding
+    # (tests/test_train_head.py).
+    fused_train_head: bool = True
     # run the learned-3x3-zeropad x2 upsamplings in their exact polyphase
     # form during TRAINING as well (ops/polyphase_upsample.py): same math
     # (grouped conv at input resolution + depth-to-space, fully

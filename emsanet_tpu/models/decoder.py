@@ -157,6 +157,9 @@ class PredictionUpsampling(nn.Module):
     # depthwise kernel) for the fused Pallas upsample+decode megakernel
     # (ops/semantic_decode.py); caller detects by isinstance tuple
     defer_final_conv: bool = False
+    # TRAIN-mode final-conv deferral for the fused upsample+CE loss
+    # kernel (ops/semantic_train_head.py)
+    defer_final_conv_train: bool = False
     train_polyphase: bool = False
     dtype: Dtype = jnp.float32
 
@@ -168,7 +171,9 @@ class PredictionUpsampling(nn.Module):
         x = Upsampling(self.method, fused=self.fused,
                        train_polyphase=self.train_polyphase,
                        defer_interleave=self.defer_final,
-                       defer_conv=self.defer_final_conv, dtype=self.dtype,
+                       defer_conv=self.defer_final_conv,
+                       defer_conv_train=self.defer_final_conv_train,
+                       dtype=self.dtype,
                        name="up1")(x, train=train)
         return x
 
@@ -205,6 +210,9 @@ class DenseDecoder(nn.Module):
     fused_inference: bool = False
     fused_training: bool = False
     train_polyphase: bool = False
+    # TRAIN mode: defer the semantic head's final x2 conv into the fused
+    # upsample+CE loss kernel (ops/semantic_train_head.py)
+    fused_train_head: bool = False
     # 'decode' | 'interleave': how far the final semantic x2 stage
     # defers under fused_inference (ModelConfig.head_decode_fusion)
     head_decode_fusion: str = "decode"
@@ -309,6 +317,9 @@ class DenseDecoder(nn.Module):
                         and self.head_decode_fusion
                         in ("decode-planes", "decode-both"))
                 )
+            ),
+            defer_final_conv_train=(
+                self.task == "semantic" and self.fused_train_head
             ),
             dtype=self.dtype, name="head_upsampling"
         )(pred, train=train)

@@ -67,6 +67,9 @@ class EMSANet(nn.Module):
                     remat=cfg.remat,
                     fused_inference=cfg.fused_inference,
                     fused_training=cfg.fused_training,
+                    fused_train_head=(
+                        cfg.fused_training and cfg.fused_train_head
+                    ),
                     train_polyphase=cfg.train_polyphase_upsampling,
                     head_decode_fusion=cfg.head_decode_fusion,
                     n_channels=cfg.semantic_decoder_n_channels,

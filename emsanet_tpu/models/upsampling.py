@@ -81,6 +81,10 @@ class Upsampling(nn.Module):
     # (ops/semantic_decode.py). Callers detect by isinstance(out, tuple);
     # falls back like defer_interleave when the polyphase gate is off.
     defer_conv: bool = False
+    # TRAIN-mode conv deferral: return the (input, kernel) tuple in train
+    # mode so the loss runs the fused upsample+CE kernel with custom VJP
+    # (ops/semantic_train_head.py) — the full-res logits never exist
+    defer_conv_train: bool = False
     # allow the exact polyphase form in train mode too (differentiable;
     # ModelConfig.train_polyphase_upsampling)
     train_polyphase: bool = False
@@ -102,6 +106,16 @@ class Upsampling(nn.Module):
             # (measured on v5e b32: 2.4-6.8x at inputs >= 60x80; naive XLA
             # is already fast at 30x40 and below) — tools/upsample_bench.py
             h, w = x.shape[1], x.shape[2]
+            if (
+                method == "learned-3x3-zeropad"
+                and self.defer_conv_train
+                and train
+                and not self.is_initializing()
+            ):
+                # params must exist: the depthwise conv below is built
+                # during init (is_initializing path) with the same name
+                kernel = self.variables["params"]["depthwise"]["kernel"]
+                return x, kernel
             if (
                 method == "learned-3x3-zeropad"
                 and (

@@ -118,10 +118,24 @@ def compute_losses(
         return batch.get(f"_down_{s}", {})
 
     if "semantic" in outputs and "semantic" in batch:
-        total = cross_entropy_semantic(
-            outputs["semantic"]["logits"], batch["semantic"],
-            class_weights, label_smoothing,
-        )
+        if "decode_input" in outputs["semantic"]:
+            # fused_train_head: the final x2 stage was deferred into the
+            # fused upsample+CE kernel (ops/semantic_train_head.py) —
+            # the full-res logits never materialize
+            from emsanet_tpu.ops.semantic_train_head import (
+                fused_semantic_head_loss,
+            )
+
+            di = outputs["semantic"]["decode_input"]
+            total = fused_semantic_head_loss(
+                di["x"], di["kernel"], batch["semantic"],
+                class_weights, label_smoothing,
+            )
+        else:
+            total = cross_entropy_semantic(
+                outputs["semantic"]["logits"], batch["semantic"],
+                class_weights, label_smoothing,
+            )
         for side, s in zip(
             outputs["semantic"].get("side_outputs", ()),
             semantic_side_downscales,

@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--ab-stacked", action="store_true",
                     help="A/B the tap-concatenated backward matmuls vs "
                     "the per-tap form (nbt1d_train.STACKED_BWD)")
+    ap.add_argument("--ab-train-head", action="store_true",
+                    help="A/B the fused upsample+CE train-head kernel "
+                    "(ops/semantic_train_head.py) off vs on")
     ap.add_argument("--ab-padded", action="store_true",
                     help="for each gate, A/B the XLA-row-pad kernels vs "
                     "the clamped-DMA kernels in one process")
@@ -128,14 +131,20 @@ def main():
                 label += f", padded={pad}"
             if stk is not None:
                 label += f", stacked={stk}"
-            cfg_f, model_f, variables_f = build(n, 480, 640,
-                                                fused_training=True)
-            t_fused = time_train(label + ")", cfg_f, model_f,
-                                 variables_f, batch, args.runs)
-            if t_base is not None:
-                print(f"speedup vs baseline: {t_base/t_fused:.3f}x  "
-                      f"({t_base*1e3:.1f} -> {t_fused*1e3:.1f} ms)",
-                      flush=True)
+            heads = (False, True) if args.ab_train_head else (True,)
+            for head in heads:
+                cfg_f, model_f, variables_f = build(
+                    n, 480, 640, fused_training=True,
+                    fused_train_head=head,
+                )
+                t_fused = time_train(
+                    label + f", head={head})", cfg_f, model_f,
+                    variables_f, batch, args.runs,
+                )
+                if t_base is not None:
+                    print(f"speedup vs baseline: {t_base/t_fused:.3f}x  "
+                          f"({t_base*1e3:.1f} -> {t_fused*1e3:.1f} ms)",
+                          flush=True)
 
 
 if __name__ == "__main__":
