@@ -77,6 +77,12 @@ LATENCY_MAX_PIXELS = 0
 _VMEM_BUDGET = 9 * 1024 * 1024
 _VMEM_TOTAL = 14 * 1024 * 1024
 _WEIGHTS_MAX = 11 * 1024 * 1024
+# A/B knob: force the XLA row-padded input path even where the clamped
+# in-bounds DMA window (no jnp.pad round trip) is available. The clamped
+# path is exact — out-of-image rows are re-zeroed at every vertical conv
+# already — and removes one full read+write of the feature map per chain
+# call (same trick as ops/nbt1d_train.py, which measured ~3 ms/step).
+FORCE_PADDED = False
 
 
 def _weight_bytes(c: int, k: int, itemsize: int = 2) -> int:
@@ -168,9 +174,17 @@ def _conv1x3(x, w, b, col_mask=None):
     return acc + b[None, None, :]
 
 
+def _shift_rows_by(x, d: int):
+    """Shift rows of (R, W, C) by d (positive = toward row 0), zero-fill."""
+    zeros = jnp.zeros_like(x[: abs(d)])
+    if d > 0:
+        return jnp.concatenate([x[d:], zeros], axis=0)
+    return jnp.concatenate([zeros, x[:d]], axis=0)
+
+
 def _chain_kernel(
     # refs
-    xpad_ref,  # (N, H + 2*HALO, W, C) in ANY/HBM
+    xpad_ref,  # (N, H + 2*HALO, W, C) padded, or (N, H, W, C) clamped — HBM
     w31_ref,   # (K, 2, 3, C, C) compute dtype, VMEM (or HBM if streaming)
     b31_ref,   # (K, 2, C) f32
     w13_ref,   # (K, 2, 3, C, C)
@@ -187,6 +201,7 @@ def _chain_kernel(
     img_h: int,
     img_w: int,
     stream_weights: bool = False,
+    padded: bool = True,
 ):
     halo = 2 * n_blocks
     r = tile_h + 2 * halo
@@ -196,8 +211,15 @@ def _chain_kernel(
     def make_dma(step_idx, slot):
         n = step_idx // tiles_per_image
         t = step_idx % tiles_per_image
+        if padded:
+            start = t * tile_h
+        else:
+            # clamped in-bounds window on the UNPADDED input; realigned
+            # below. Requires tile_h >= 2*halo and H >= tile_h + 2*halo
+            # (gated in nbt1d_chain) so the shift is only ever +/-halo.
+            start = jnp.clip(t * tile_h - halo, 0, img_h - r)
         return pltpu.make_async_copy(
-            xpad_ref.at[n, pl.ds(t * tile_h, r)],
+            xpad_ref.at[n, pl.ds(start, r)],
             in_buf.at[slot],
             sems.at[slot],
         )
@@ -214,6 +236,19 @@ def _chain_kernel(
 
     x = in_buf[step % 2]  # (R, W, C) compute dtype
     cdtype = x.dtype
+    if not padded:
+        # realign buf[j] = src[start + j] to x[j] = src[want + j]; with
+        # tile_h >= 2*halo the shift is -halo (first tile), +halo (last
+        # tile) or 0. Rows shifted in are zero-filled — by construction
+        # they are out-of-image rows, which every vertical conv re-zeroes
+        # anyway (mask below), so the fill value never reaches the output.
+        t0 = step % tiles_per_image
+        want = t0 * tile_h - halo
+        shift = want - jnp.clip(want, 0, img_h - r)
+        x = jnp.where(
+            shift == -halo, _shift_rows_by(x, -halo),
+            jnp.where(shift == halo, _shift_rows_by(x, halo), x),
+        )
 
     if stream_weights:
         w31_buf, w13_buf, sems_w = wbufs
@@ -360,7 +395,15 @@ def nbt1d_chain(
     tiles = h // tile_h
     r = tile_h + 2 * halo
 
-    xpad = jnp.pad(x, ((0, 0), (halo, halo), (0, wp - w), (0, 0)))
+    # Clamped in-bounds DMA windows skip the jnp.pad HBM round trip (one
+    # full read+write of the feature map per call). Needs: no dead
+    # padding columns (the pad would have to add them), and the 3-way
+    # realign invariant tile_h >= 2*halo with the window fitting in H.
+    padded = FORCE_PADDED or wp != w or tile_h < 2 * halo or h < r
+    if padded:
+        xin = jnp.pad(x, ((0, 0), (halo, halo), (0, wp - w), (0, 0)))
+    else:
+        xin = x
     cdtype = x.dtype
     f32 = jnp.float32
 
@@ -372,6 +415,7 @@ def nbt1d_chain(
         img_h=h,
         img_w=w,
         stream_weights=stream_weights,
+        padded=padded,
     )
     wspace = (
         pltpu.MemorySpace.HBM if stream_weights
