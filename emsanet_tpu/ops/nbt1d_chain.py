@@ -452,7 +452,7 @@ def nbt1d_chain(
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        xpad,
+        xin,
         stacked["w31"].astype(cdtype),
         stacked["b31"].astype(f32),
         stacked["w13"].astype(cdtype),

@@ -135,6 +135,45 @@ def test_chain_odd_width_col_padding():
     )
 
 
+def test_chain_clamped_vs_padded():
+    """The clamped in-bounds DMA path (no jnp.pad round trip) is exact.
+
+    Eligibility needs tile_h >= 2*halo and h >= tile_h + 2*halo — the
+    flagship encoder/decoder chain shapes qualify, the tiny shapes in the
+    tests above do not, so this test picks an eligible shape and locks
+    both paths against the flax oracle AND each other. FORCE_PADDED is
+    read at trace time, so the jit cache must be cleared when flipping it.
+    """
+    from emsanet_tpu.ops import nbt1d_chain as nch
+
+    # k=2 -> halo=4; h=32, tile_h=8: r=16 <= 32, tile_h >= 2*halo
+    x, stacked, ref = _make(2, 128, False, (2, 32, 8, 128), seed=17)
+    # C=64 merged flagship-like shape: (120,32,64) -> merged C=128 w=16
+    x64, stacked64, ref64 = _make(3, 64, False, (1, 120, 32, 64), seed=19)
+    outs = {}
+    old = nch.FORCE_PADDED
+    try:
+        for forced in (False, True):
+            nch.FORCE_PADDED = forced
+            nbt1d_chain.clear_cache()
+            outs[forced] = nbt1d_chain(x, stacked, tile_h=8, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(outs[forced]), np.asarray(ref),
+                atol=2e-5, rtol=2e-5,
+            )
+            # tile_h=24 >= 2*halo(12), r=36 <= 120: clamped-eligible
+            out64 = nbt1d_chain(x64, stacked64, tile_h=24, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out64), np.asarray(ref64), atol=2e-5, rtol=2e-5
+            )
+    finally:
+        nch.FORCE_PADDED = old
+        nbt1d_chain.clear_cache()
+    # bit-identical across paths: same taps, same accumulation order
+    np.testing.assert_array_equal(np.asarray(outs[False]),
+                                  np.asarray(outs[True]))
+
+
 def test_chain_stream_latency_gate():
     from emsanet_tpu.ops import nbt1d_chain as nch
 
