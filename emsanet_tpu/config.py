@@ -219,6 +219,14 @@ class ModelConfig:
     #   keeps full head compute inside the forward for fwd-only
     #   benchmarking protocols).
     head_decode_fusion: str = "decode"
+    # inference-only: execute the dual rgb+depth encoder as ONE packed
+    # stream of feature_group_count=2 grouped convs (+ block-diagonal
+    # packed SE gates and chain kernels), halving the encoder's kernel
+    # launches (models/packed_encoder.py). Exact same math on the same
+    # per-stream param tree; no effect on training or the param layout.
+    # Off by default pending the measured-profit table (the b1 forward
+    # is dispatch-bound — CLAUDE.md roadmap).
+    packed_dual_encoder: bool = False
 
     @property
     def instance_normalized_offset(self) -> bool:
