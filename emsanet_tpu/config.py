@@ -224,8 +224,13 @@ class ModelConfig:
     # packed SE gates and chain kernels), halving the encoder's kernel
     # launches (models/packed_encoder.py). Exact same math on the same
     # per-stream param tree; no effect on training or the param layout.
-    # Off by default pending the measured-profit table (the b1 forward
-    # is dispatch-bound — CLAUDE.md roadmap).
+    # KEEP OFF: the hypothesis FAILED the whole-model A/B on v5e
+    # (tools/packed_ab.py, one process): e2e b1 6.63 vs 6.12 ms, b32
+    # 81.8 vs 71.5 ms. The b32 magnitude implicates XLA:TPU's grouped-
+    # conv lowering (not just the per-call weight-packing concats), so
+    # pre-packing weights would not close the gap. Kept as a tested
+    # opt-in recording the negative result; may win on backends with
+    # native grouped-conv support.
     packed_dual_encoder: bool = False
 
     @property
