@@ -264,6 +264,39 @@ def test_chain_train_zero_init_residual_layout():
                                atol=1e-4, rtol=1e-4)
 
 
+def _semantic_head_loss(sem, target):
+    """The train-step semantic head-loss dispatch (training/step.py):
+    unfused heads expose full-res logits -> cross_entropy_semantic;
+    fused_train_head defers the final x2 stage -> the CE comes from
+    fused_semantic_head_loss on the half-res head output (jnp reference
+    fallback on CPU, Pallas kernel on TPU)."""
+    from emsanet_tpu.losses import cross_entropy_semantic
+    from emsanet_tpu.ops.semantic_train_head import fused_semantic_head_loss
+
+    if "decode_input" in sem:
+        di = sem["decode_input"]
+        return fused_semantic_head_loss(di["x"], di["kernel"], target)
+    return cross_entropy_semantic(sem["logits"], target)
+
+
+def _materialize_semantic_logits(sem):
+    """Full-res logits for output comparison: the deferred head's exact
+    final stage (nearest x2 + SAME-zero-pad depthwise conv) applied to
+    decode_input; passthrough for unfused heads."""
+    if "logits" in sem:
+        return sem["logits"]
+    from emsanet_tpu.models.upsampling import nearest_x2
+
+    di = sem["decode_input"]
+    x, kernel = di["x"], di["kernel"]
+    return jax.lax.conv_general_dilated(
+        nearest_x2(x), kernel.astype(x.dtype),
+        window_strides=(1, 1), padding="SAME",
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def test_fused_training_model_equivalence():
     """fused_training=True reproduces the unfused training graph at
     dropout 0: outputs, gradients, and merged BN running stats."""
@@ -296,7 +329,14 @@ def test_fused_training_model_equivalence():
         "rgb": jnp.asarray(rng.randn(2, 96, 128, 3), jnp.float32),
         "depth": jnp.asarray(rng.randn(2, 96, 128, 1), jnp.float32),
     }
-    cot = None
+    # full-label-space semantic target (0 = void) so the loss runs the
+    # real train-step head contract: with fused_train_head the full-res
+    # logits never materialize and the CE comes straight from the
+    # deferred half-res head (training/step.py:121-133)
+    n_cls = ds_config.n_semantic_classes_without_void
+    target = jnp.asarray(
+        rng.randint(0, n_cls + 1, size=(2, 96, 128)), jnp.int32
+    )
     results = {}
     for fused in (False, True):
         def loss(params):
@@ -310,8 +350,7 @@ def test_fused_training_model_equivalence():
             stats = merge_fused_bn_updates(
                 mut["batch_stats"], mut.get("fused_bn")
             )
-            logits = out["semantic"]["logits"]
-            return jnp.sum(logits * logits), (out, stats)
+            return _semantic_head_loss(out["semantic"], target), (out, stats)
 
         (val, (out, stats)), grads = jax.value_and_grad(
             loss, has_aux=True)(variables["params"])
@@ -321,8 +360,9 @@ def test_fused_training_model_equivalence():
     v1, out1, stats1, g1 = results[True]
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-4)
     np.testing.assert_allclose(
-        np.asarray(out1["semantic"]["logits"]),
-        np.asarray(out0["semantic"]["logits"]), atol=2e-3, rtol=1e-3,
+        np.asarray(_materialize_semantic_logits(out1["semantic"])),
+        np.asarray(_materialize_semantic_logits(out0["semantic"])),
+        atol=2e-3, rtol=1e-3,
     )
     # merged running stats must cover the same tree and match
     flat0 = jax.tree_util.tree_flatten_with_path(stats0)[0]

@@ -64,6 +64,17 @@ def model_level():
         "rgb": jnp.asarray(rng.randn(2, 96, 128, 3), jnp.float64),
         "depth": jnp.asarray(rng.randn(2, 96, 128, 1), jnp.float64),
     }
+    # train-step head contract: the fused model defers the final x2
+    # stage (decode_input) and the loss comes from
+    # fused_semantic_head_loss (jnp reference path in f64/CPU); the
+    # unfused model exposes full-res logits -> cross_entropy_semantic
+    from emsanet_tpu.losses import cross_entropy_semantic
+    from emsanet_tpu.ops.semantic_train_head import fused_semantic_head_loss
+
+    n_cls = ds_config.n_semantic_classes_without_void
+    target = jnp.asarray(
+        rng.randint(0, n_cls + 1, size=(2, 96, 128)), jnp.int32
+    )
     grads = {}
     for fused in (False, True):
         def loss(params):
@@ -74,8 +85,13 @@ def model_level():
                 mutable=["batch_stats", "fused_bn"],
                 rngs={"dropout": jax.random.PRNGKey(1)},
             )
-            logits = out["semantic"]["logits"]
-            return jnp.sum(logits * logits)
+            sem = out["semantic"]
+            if "decode_input" in sem:
+                di = sem["decode_input"]
+                return fused_semantic_head_loss(
+                    di["x"], di["kernel"], target
+                )
+            return cross_entropy_semantic(sem["logits"], target)
 
         grads[fused] = jax.grad(loss)(variables["params"])
 
