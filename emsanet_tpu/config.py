@@ -219,19 +219,12 @@ class ModelConfig:
     #   keeps full head compute inside the forward for fwd-only
     #   benchmarking protocols).
     head_decode_fusion: str = "decode"
-    # inference-only: execute the dual rgb+depth encoder as ONE packed
-    # stream of feature_group_count=2 grouped convs (+ block-diagonal
-    # packed SE gates and chain kernels), halving the encoder's kernel
-    # launches (models/packed_encoder.py). Exact same math on the same
-    # per-stream param tree; no effect on training or the param layout.
-    # KEEP OFF: the hypothesis FAILED the whole-model A/B on v5e
-    # (tools/packed_ab.py, one process): e2e b1 6.63 vs 6.12 ms, b32
-    # 81.8 vs 71.5 ms. The b32 magnitude implicates XLA:TPU's grouped-
-    # conv lowering (not just the per-call weight-packing concats), so
-    # pre-packing weights would not close the gap. Kept as a tested
-    # opt-in recording the negative result; may win on backends with
-    # native grouped-conv support.
-    packed_dual_encoder: bool = False
+    # NOTE: a packed dual-encoder (rgb+depth as ONE stream of
+    # feature_group_count=2 grouped convs, halving encoder launches) was
+    # built, exactness-tested, and MEASURED LOSING on v5e (e823278:
+    # e2e b1 6.63 vs 6.12 ms, b32 81.8 vs 71.5 ms — XLA:TPU lowers
+    # grouped convs poorly). Removed from the product package; recover
+    # from git history only if the grouped-conv lowering changes.
 
     @property
     def instance_normalized_offset(self) -> bool:

@@ -153,13 +153,6 @@ class FusedEncoder(nn.Module):
         deterministic: bool = True,
     ):
         cfg = self.cfg
-        from emsanet_tpu.models.packed_encoder import (
-            packed_encoder_eligible,
-            packed_encoder_forward,
-        )
-
-        if packed_encoder_eligible(self, train, deterministic):
-            return packed_encoder_forward(self, inputs)
         skip_downscales = set(cfg.encoder_decoder_skip_downsamplings)
         feats = {}
         for mod in self.specs:

@@ -1,5 +1,15 @@
 """A/B the channel layout of the deferred polyphase semantic decode.
 
+CONCLUDED (round 3; this file is the surviving generation of three —
+bench2 tested permute/shifted-add parity-major producers, bench3 tested
+NCHW-domain decode; both deleted, conclusions here and in CLAUDE.md):
+XLA canonicalizes EVERY logical-layout variant (c-major, parity-major
+permute, shifted-add accumulator, NCHW conv out + major-axis slices,
+four depthwise convs) back to the same ~14.4 ms conv+decode program at
+b32 — layout games at the XLA level are a dead end. Only a Pallas
+kernel that owns the layout wins: ops/semantic_decode.py (channel-major
+input, classes on sublanes, W on lanes) runs conv+decode in 7.3 ms.
+
 tools/postproc_real_probe.py measured the c-major decode
 (postprocess_semantic_polyphase on the grouped-conv (N,H/2,W/2,4C)
 output, channel = c*4 + parity) at 10.9 ms b32 — the argmax/max/sumexp
