@@ -19,6 +19,20 @@ import os
 import sys
 
 
+def prepare_raw_depth(depth, depth_max, depth_scale):
+    """Kinect-style raw-depth handling (reference
+    inference_samples.py:108-115): values above `depth_max` become 0
+    (invalid), then `depth_scale` is applied — in that order, so the
+    clip threshold is in RAW sensor units (mm for the Kinect-v2
+    samples), not in scaled units."""
+    import numpy as np
+
+    depth = np.asarray(depth).astype(np.float32)
+    if depth_max is not None:
+        depth = np.where(depth > depth_max, 0, depth)
+    return depth * depth_scale
+
+
 def _get_args(argv=None):
     from emsanet_tpu.utils.cli import args_to_config, build_parser
 
@@ -103,11 +117,9 @@ def main(argv=None):
     for rgb_file in rgb_files:
         depth_file = rgb_file.replace("_rgb.png", "_depth.png")
         rgb = np.asarray(Image.open(rgb_file))[..., :3]
-        depth = np.asarray(Image.open(depth_file)).astype(np.float32)
-        # depth clip/scale flags (inference_samples.py:108-115)
-        if ns.depth_max is not None:
-            depth = np.where(depth > ns.depth_max, 0, depth)
-        depth = depth * ns.depth_scale
+        depth = prepare_raw_depth(
+            np.asarray(Image.open(depth_file)), ns.depth_max, ns.depth_scale
+        )
 
         sample = preprocessor({
             "rgb": rgb,
