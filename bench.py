@@ -35,8 +35,6 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="small config for smoke testing")
     parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--no-param-cache", action="store_true",
-                        help="A/B: keep chain weight prep in-graph")
     parser.add_argument("--no-fused", action="store_true",
                         help="disable the fused inference path (Pallas "
                         "NBt1D chains + polyphase upsampling)")
@@ -90,14 +88,6 @@ def main():
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))
-    if not args.no_fused and not args.no_param_cache:
-        # deployment prep: hoist chain-kernel weight prep out of the
-        # timed graph (models.emsanet.build_fused_params; the builder
-        # compile is tiny — the forward is dead-code-eliminated)
-        from emsanet_tpu.models import build_fused_params
-
-        variables = build_fused_params(model, variables)
-    fusedp = variables.get("fused_params", {})
     is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
 
     n, h, w = args.batch_size, args.height, args.width
@@ -119,15 +109,14 @@ def main():
     # time two different queue lengths — the difference cancels the
     # constant dispatch+readback overhead and yields pure device time.
     @jax.jit
-    def fn(params, batch_stats, fusedp, rgb, depth):
+    def fn(params, batch_stats, rgb, depth):
         batch = {"rgb": rgb, "depth": depth}
         if args.raw_inputs:
             batch = prepare_inputs_device(
                 batch, stats.mean, stats.std, raw_depth=False
             )
         outputs = model.apply(
-            {"params": params, "batch_stats": batch_stats,
-             "fused_params": fusedp},
+            {"params": params, "batch_stats": batch_stats},
             batch, train=False,
         )
         if args.with_postprocessing:
@@ -148,13 +137,13 @@ def main():
 
     # warmup (compile + cache); readback guarantees compile finished
     for _ in range(max(args.warmup, 1)):
-        v = float(fn(params, batch_stats, fusedp, rgb, depth))
+        v = float(fn(params, batch_stats, rgb, depth))
 
     def timed(n_runs: int) -> float:
         t0 = time.perf_counter()
         for _ in range(n_runs - 1):
-            fn(params, batch_stats, fusedp, rgb, depth)  # async enqueue
-        float(fn(params, batch_stats, fusedp, rgb, depth))  # readback drains queue
+            fn(params, batch_stats, rgb, depth)  # async enqueue
+        float(fn(params, batch_stats, rgb, depth))  # readback drains queue
         return time.perf_counter() - t0
 
     n_short = max(args.runs // 5, 2)

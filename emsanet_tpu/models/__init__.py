@@ -1,9 +1,4 @@
-from emsanet_tpu.models.emsanet import (  # noqa: F401
-    EMSANet,
-    build_fused_params,
-    create_model,
-    init_model,
-)
+from emsanet_tpu.models.emsanet import EMSANet, create_model, init_model  # noqa: F401
 from emsanet_tpu.models.layers import (  # noqa: F401
     BasicBlock,
     Bottleneck,

@@ -276,49 +276,3 @@ def init_model(
         train=train,
     )
     return variables
-
-
-def build_fused_params(model: EMSANet, variables, batch_size: int = 1):
-    """One-time deployment preparation: materialize the 'fused_params'
-    cache collection (pre-stacked / BN-folded / C=64-merged / dtype-cast
-    chain-kernel inputs; ops/nbt1d_chain.py::prepare_chain_params).
-
-    Passing the returned variables into inference applies makes every
-    fused chain site a pure cache lookup — the ~50 tiny weight-prep XLA
-    ops per site vanish from the deployed graph (they ran on EVERY
-    forward; at latency batch sizes their launch overhead rivaled the
-    chain kernels' win — the round-3 latency_ab failure mode).
-
-    The builder jits an apply that returns ONLY the mutated collection,
-    so XLA dead-code-eliminates the model compute itself: the compile is
-    cheap and no real forward runs. Entries are n-independent
-    (chain_cacheable), so batch_size=1 covers all deployment batches at
-    the same input resolution. Falls back silently at sites left
-    uncached (in-graph prep, exact same numerics).
-    """
-    cfg = model.cfg
-    batch = {}
-    if "rgb" in cfg.input_modalities or "rgbd" in cfg.input_modalities:
-        batch["rgb"] = jnp.zeros(
-            (batch_size, cfg.input_height, cfg.input_width, 3), jnp.float32
-        )
-    if "depth" in cfg.input_modalities or "rgbd" in cfg.input_modalities:
-        batch["depth"] = jnp.zeros(
-            (batch_size, cfg.input_height, cfg.input_width, 1), jnp.float32
-        )
-
-    @jax.jit
-    def _collect(v, b):
-        _, mut = model.apply(
-            v, b, train=False, mutable=["fused_params"]
-        )
-        return mut["fused_params"]
-
-    fused = _collect(
-        {k: variables[k] for k in ("params", "batch_stats")
-         if k in variables},
-        batch,
-    )
-    out = dict(variables)
-    out["fused_params"] = fused
-    return out

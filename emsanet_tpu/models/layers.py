@@ -299,39 +299,6 @@ class Bottleneck(nn.Module):
         return act(h + residual)
 
 
-def _chain_params_cached(mdl, tail, c, w, dtype):
-    """Prepared chain-kernel params for a tail site, via the
-    'fused_params' cache collection when available.
-
-    - apply with the collection absent: prepared in-graph per call
-      (~50 tiny XLA ops/site — correct, but launch overhead at latency
-      batch sizes).
-    - apply with mutable=['fused_params'] (one warm-up pass, see
-      models.emsanet.build_fused_params): entries are computed and
-      written out.
-    - apply with the built collection passed in variables: pure lookup —
-      zero weight-prep ops in the deployed graph.
-    """
-    from emsanet_tpu.ops.nbt1d_chain import prepare_chain_params
-
-    name = f"chain_{tail[0].name}_{len(tail)}"
-    expect_c = 128 if (c == 64 and w % 2 == 0) else c
-    if mdl.has_variable("fused_params", name):
-        cached = mdl.get_variable("fused_params", name)
-        if (
-            cached["w31"].shape[-1] == expect_c
-            and cached["w31"].dtype == dtype
-        ):
-            return cached
-    v = mdl.variables
-    bp = [v["params"][b.name] for b in tail]
-    bs = [v["batch_stats"][b.name] for b in tail]
-    stacked = prepare_chain_params(bp, bs, c, w, dtype)
-    if mdl.is_mutable_collection("fused_params"):
-        mdl.put_variable("fused_params", name, stacked)
-    return stacked
-
-
 def apply_blocks_maybe_fused(
     mdl: nn.Module,
     blocks: Sequence[nn.Module],
@@ -355,11 +322,11 @@ def apply_blocks_maybe_fused(
     Initialization and training always take the unfused path.
     """
     from emsanet_tpu.ops.nbt1d_chain import (
-        chain_cacheable,
         chain_stream_latency,
         chain_supported,
         chain_supported_latency,
         nbt1d_chain,
+        stack_chain_params,
     )
 
     tail_start = len(blocks)
@@ -401,18 +368,13 @@ def apply_blocks_maybe_fused(
         streamed = not resident and chain_stream_latency(
             n, h, w, c, len(tail)
         )
-        building = mdl.is_mutable_collection("fused_params")
-        if resident or streamed or (
-            building and chain_cacheable(h, w, c, len(tail))
-        ):
-            stacked = _chain_params_cached(mdl, tail, c, w, x.dtype)
-            if resident or streamed:
-                return nbt1d_chain(
-                    x, stacked, stream_weights=streamed,
-                    premerged=True,
-                )
-            # builder pass for a site only an n-dependent gate can
-            # select: the entry is written; compute stays unfused here
+        if resident or streamed:
+            v = mdl.variables
+            bp = [v["params"][b.name] for b in tail]
+            bs = [v["batch_stats"][b.name] for b in tail]
+            return nbt1d_chain(
+                x, stack_chain_params(bp, bs), stream_weights=streamed
+            )
     if use_fused_train and c == tail[0].features:
         from emsanet_tpu.ops.nbt1d_train import pairs_supported
 

@@ -348,8 +348,7 @@ def _merge_c64(stacked: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("tile_h", "interpret", "stream_weights", "premerged"),
+    jax.jit, static_argnames=("tile_h", "interpret", "stream_weights")
 )
 def nbt1d_chain(
     x: jnp.ndarray,
@@ -357,7 +356,6 @@ def nbt1d_chain(
     tile_h: int | None = None,
     interpret: bool = False,
     stream_weights: bool = False,
-    premerged: bool = False,
 ) -> jnp.ndarray:
     """Run K fused stride-1 NBt1D blocks over x.
 
@@ -369,9 +367,6 @@ def nbt1d_chain(
     stream_weights: keep the conv weights in HBM and DMA them per block
       (latency-mode C=512 chains whose weight stacks exceed VMEM; every
       grid step re-fetches, so this is only gated on for tiny grids).
-    premerged: `stacked` already holds the C=64 pixel-pair-merged
-      (C=128) form — produced once by `prepare_chain_params` instead of
-      re-deriving the block matrices in-graph on every forward call.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # CPU tests exercise the same code path
@@ -379,7 +374,7 @@ def nbt1d_chain(
     if c == 64 and w % 2 == 0:
         merged = nbt1d_chain(
             x.reshape(n, h, w // 2, 128),
-            stacked if premerged else _merge_c64(stacked),
+            _merge_c64(stacked),
             tile_h=tile_h,
             interpret=interpret,
         )
@@ -531,37 +526,6 @@ def stack_chain_params(
     }
 
 
-def prepare_chain_params(
-    block_params: Sequence[Dict[str, Any]],
-    block_stats: Sequence[Dict[str, Any]],
-    c: int,
-    w: int,
-    compute_dtype,
-) -> Dict[str, jnp.ndarray]:
-    """One-time kernel-input preparation for a chain site.
-
-    stack_chain_params + the C=64 pixel-pair merge + the compute-dtype
-    casts are ~50 tiny XLA ops per site; run in-graph they execute on
-    EVERY forward call and at latency batch sizes the launch overhead
-    rivals the kernel's own win (the round-3 latency_ab failure). This
-    folds all of it once; the result is cached in the 'fused_params'
-    collection (models/layers.py::apply_blocks_maybe_fused) and enters
-    the jitted forward as plain inputs.
-    """
-    stacked = stack_chain_params(block_params, block_stats)
-    if c == 64 and w % 2 == 0:
-        stacked = _merge_c64(stacked)
-    cdtype = jnp.dtype(compute_dtype)
-    return {
-        "w31": stacked["w31"].astype(cdtype),
-        "b31": stacked["b31"].astype(jnp.float32),
-        "w13": stacked["w13"].astype(cdtype),
-        "b13": stacked["b13"].astype(jnp.float32),
-        "bn_scale": stacked["bn_scale"].astype(jnp.float32),
-        "bn_shift": stacked["bn_shift"].astype(jnp.float32),
-    }
-
-
 def _chain_shape_ok(h: int, w: int, c: int, k: int,
                     allow_col_pad: bool = False) -> bool:
     if c == 64:
@@ -602,25 +566,6 @@ def chain_supported_latency(n: int, h: int, w: int, c: int, k: int) -> bool:
     if n * h * w > LATENCY_MAX_PIXELS:
         return False
     return _chain_shape_ok(h, w, c, k, allow_col_pad=True)
-
-
-def chain_cacheable(h: int, w: int, c: int, k: int) -> bool:
-    """Whether ANY chain gate could ever fire at this site, for any
-    batch size / latency-mode setting — the n-independent superset used
-    by the fused_params cache builder (build at n=1, reuse at any n).
-    Unused entries cost a few KB of device memory and nothing else."""
-    if c in set(SUPPORTED_CHANNELS) | set(SUPPORTED_CHANNELS_LATENCY):
-        if _chain_shape_ok(h, w, c, k, allow_col_pad=True):
-            return True
-    if c == 512:
-        wp = -(-w // 8) * 8
-        return (
-            wp * c * 2 <= 512 * 1024
-            and h >= 4
-            and h % _pick_tile_h(h, wp, c, k, 2,
-                                 resident_weights=False) == 0
-        )
-    return False
 
 
 def chain_stream_latency(n: int, h: int, w: int, c: int, k: int) -> bool:

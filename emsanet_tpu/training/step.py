@@ -300,19 +300,13 @@ def make_eval_step(
     from emsanet_tpu.ops.device_prep import prepare_inputs_device
     from emsanet_tpu.postprocessing import postprocess
 
-    def eval_step(params, batch_stats, batch, fused_params=None):
-        # fused_params: optional prepared chain-kernel inputs
-        # (models.emsanet.build_fused_params); omitted -> in-graph prep,
-        # exact same numerics
+    def eval_step(params, batch_stats, batch):
         if depth_stats is not None:
             batch = prepare_inputs_device(
                 batch, depth_stats[0], depth_stats[1], raw_depth
             )
-        variables = {"params": params, "batch_stats": batch_stats}
-        if fused_params:
-            variables["fused_params"] = fused_params
         outputs = model.apply(
-            variables,
+            {"params": params, "batch_stats": batch_stats},
             {k: batch[k] for k in ("rgb", "depth") if k in batch},
             train=False,
         )

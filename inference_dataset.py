@@ -148,15 +148,6 @@ def main(argv=None):
     from emsanet_tpu.training import make_eval_step
 
     is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
-    fusedp = {}
-    if cfg.model.fused_inference:
-        # deployment prep from the LOADED params (post-checkpoint)
-        from emsanet_tpu.models import build_fused_params
-
-        fusedp = build_fused_params(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats},
-        )["fused_params"]
     eval_step = jax.jit(make_eval_step(model, cfg, is_thing))
 
     out_root = ns.inference_output_path
@@ -170,7 +161,6 @@ def main(argv=None):
                 state.params, state.batch_stats,
                 {k: device_batch[k] for k in ("rgb", "depth")
                  if k in device_batch},
-                fusedp,
             ))
             valid = batch.get(
                 "_valid_mask", np.ones(len(batch["identifier"]), bool)

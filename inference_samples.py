@@ -98,25 +98,14 @@ def main(argv=None):
 
     preprocessor = get_preprocessor(cfg, ds_config, phase="test",
                                     keep_raw_inputs=True)
-    fusedp = {}
-    if cfg.model.fused_inference:
-        # deployment prep from the loaded params (post-checkpoint)
-        from emsanet_tpu.models import build_fused_params
-
-        fusedp = build_fused_params(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats},
-        )["fused_params"]
     is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
     setup_shared_color_generators(ds_config)
 
     @jax.jit
-    def infer(params, batch_stats, fusedp, rgb, depth):
-        variables = {"params": params, "batch_stats": batch_stats}
-        if fusedp:
-            variables["fused_params"] = fusedp
+    def infer(params, batch_stats, rgb, depth):
         outputs = model.apply(
-            variables, {"rgb": rgb, "depth": depth}, train=False,
+            {"params": params, "batch_stats": batch_stats},
+            {"rgb": rgb, "depth": depth}, train=False,
         )
         return postprocess(outputs, is_thing, cfg.model)
 
@@ -141,7 +130,7 @@ def main(argv=None):
         })
         batch = batch_collate([sample])
         preds = jax.device_get(
-            infer(state.params, state.batch_stats, fusedp,
+            infer(state.params, state.batch_stats,
                   jnp.asarray(batch["rgb"]), jnp.asarray(batch["depth"]))
         )
 

@@ -62,11 +62,6 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
     ds_config = get_dataset_config(cfg.data)
     model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
     variables = init_model(model, jax.random.PRNGKey(0))
-    if cfg.model.fused_inference:
-        from emsanet_tpu.models import build_fused_params
-
-        variables = build_fused_params(model, variables)
-    fusedp = variables.get("fused_params", {})
     is_thing = jnp.asarray(ds_config.semantic_label_list.classes_is_thing)
 
     h, w = cfg.model.input_height, cfg.model.input_width
@@ -76,10 +71,9 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     @jax.jit
-    def step(params, batch_stats, fusedp, rgb, depth):
+    def step(params, batch_stats, rgb, depth):
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats,
-             "fused_params": fusedp},
+            {"params": params, "batch_stats": batch_stats},
             {"rgb": rgb, "depth": depth}, train=False,
         )
         if with_postprocessing:
@@ -87,7 +81,7 @@ def time_configuration(cfg, batch_size, dtype, with_postprocessing,
         return scalar_probe(out)
 
     sec, sec_std = queue_difference_timing(
-        lambda: step(params, batch_stats, fusedp, rgb, depth),
+        lambda: step(params, batch_stats, rgb, depth),
         n_long=n_runs, n_short=max(n_runs // 5, 2),
         warmup=max(n_warmup // 10, 1),
     )

@@ -311,65 +311,3 @@ def test_fused_flag_does_not_change_training_graph():
         np.asarray(outs[0]["instance"]["center"]),
         np.asarray(outs[1]["instance"]["center"]),
     )
-
-
-def test_fused_params_cache_exactness():
-    """build_fused_params: the deployed-graph cache path is bit-exact vs
-    in-graph weight prep, entries exist for the chain sites, and values
-    are premerged/cast kernel inputs (C=64 sites stored as C=128)."""
-    from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
-    from emsanet_tpu.datasets.registry import get_dataset_config
-    from emsanet_tpu.models import EMSANet, build_fused_params, init_model
-
-    cfg = EMSANetConfig(
-        model=ModelConfig(
-            tasks=("semantic", "instance"),
-            fused_inference=True,
-            input_height=96, input_width=128,
-            rgb_encoder_backbone="resnet18",
-            depth_encoder_backbone="resnet18",
-        ),
-        data=DataConfig(dataset="synthetic"),
-    ).validate()
-    ds = get_dataset_config(cfg.data)
-    model = EMSANet(cfg=cfg.model, dataset_config=ds)
-    variables = init_model(model, jax.random.PRNGKey(0))
-    variables = {
-        "params": variables["params"],
-        "batch_stats": jax.tree.map(
-            lambda a: a
-            + jnp.asarray(
-                np.random.RandomState(0).uniform(0, 0.3, a.shape), a.dtype
-            ),
-            variables["batch_stats"],
-        ),
-    }
-
-    prepared = build_fused_params(model, variables)
-    cache = prepared["fused_params"]
-    leaves = jax.tree_util.tree_flatten_with_path(cache)[0]
-    names = {jax.tree_util.keystr(kp) for kp, _ in leaves}
-    assert any("chain_" in s for s in names), names
-    # every w31 entry must be kernel-ready: merged C (>= 128) + f32 bias
-    for kp, v in leaves:
-        s = jax.tree_util.keystr(kp)
-        if s.endswith("['w31']"):
-            assert v.shape[-1] >= 128, (s, v.shape)
-        if s.endswith("['b31']"):
-            assert v.dtype == jnp.float32
-
-    rng = np.random.RandomState(1)
-    batch = {
-        "rgb": jnp.asarray(rng.randn(1, 96, 128, 3), jnp.float32),
-        "depth": jnp.asarray(rng.randn(1, 96, 128, 1), jnp.float32),
-    }
-    ref = model.apply(variables, batch, train=False)
-    out = model.apply(prepared, batch, train=False)
-    for task in ref:
-        for key, a in ref[task].items():
-            if isinstance(a, (tuple, dict)):
-                continue
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(out[task][key]),
-                err_msg=f"{task}/{key}",
-            )
