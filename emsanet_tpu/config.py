@@ -219,6 +219,13 @@ class ModelConfig:
     #   keeps full head compute inside the forward for fwd-only
     #   benchmarking protocols).
     head_decode_fusion: str = "decode"
+    # with fused_inference: run ALL dense-decoder trunks (conv_in +
+    # NBt1D blocks + polyphase x2 upsample + skip fusion, 3 modules x
+    # D decoders) as ONE Pallas call (ops/decoder_trunk.py) — the b1
+    # whole-graph launch-count lever (VERDICT r3 #2). 'auto' engages on
+    # TPU at latency batch sizes (ops.decoder_trunk.MAX_BATCH); 'on'
+    # forces it (tests/A-B tools); 'off' disables.
+    decoder_megakernel: str = "off"
     # NOTE: a packed dual-encoder (rgb+depth as ONE stream of
     # feature_group_count=2 grouped convs, halving encoder launches) was
     # built, exactness-tested, and MEASURED LOSING on v5e (e823278:
@@ -444,6 +451,11 @@ class EMSANetConfig:
                 "head_decode_fusion must be 'decode', 'decode-both', "
                 f"'decode-planes' or 'interleave', got "
                 f"'{m.head_decode_fusion}'"
+            )
+        if m.decoder_megakernel not in ("off", "on", "auto"):
+            raise ValueError(
+                "decoder_megakernel must be 'off', 'on' or 'auto', got "
+                f"'{m.decoder_megakernel}'"
             )
 
         # multiscale supervision forced off for decoders without side

@@ -235,42 +235,51 @@ class DenseDecoder(nn.Module):
         train: bool = False,
         deterministic: bool = True,
         with_side_outputs: bool = False,
+        trunk_features: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
+        """Forward. `trunk_features` (inference-only) injects the decoder
+        trunk output computed externally by the whole-trunk megakernel
+        (`ops/decoder_trunk.py`, wired in models/emsanet.py); the module
+        stack is skipped and only the task head runs. Never set during
+        init so the full param tree is always created."""
         x = context_out
         side_outputs: List[jnp.ndarray] = []
         module_cls = (
             nn.remat(DecoderModule, static_argnums=(3, 4, 5))
             if self.remat else DecoderModule
         )
-        for i, (feats, downscale) in enumerate(
-            zip(self.n_channels, self.downsamplings)
-        ):
-            x, side = module_cls(
-                features=feats,
-                block=self.block,
-                n_blocks=self.n_blocks,
-                block_dropout_p=self.block_dropout_p,
-                side_output_channels=self._head_out_channels(),
-                fusion=self.fusion,
-                upsampling=self.upsampling,
-                normalization=self.normalization,
-                activation=self.activation,
-                zero_init_residual=self.zero_init_residual,
-                fused_inference=self.fused_inference,
-                fused_training=self.fused_training,
-                train_polyphase=self.train_polyphase,
-                dtype=self.dtype,
-                name=f"module{i}",
-            )(
-                # positional: remat-wrapped modules need static_argnums
-                x,
-                skips.get(downscale),
-                train,
-                deterministic,
-                with_side_outputs,
-            )
-            if side is not None:
-                side_outputs.append(self._encode(side))
+        if trunk_features is not None and not self.is_initializing():
+            x = trunk_features
+        else:
+            for i, (feats, downscale) in enumerate(
+                zip(self.n_channels, self.downsamplings)
+            ):
+                x, side = module_cls(
+                    features=feats,
+                    block=self.block,
+                    n_blocks=self.n_blocks,
+                    block_dropout_p=self.block_dropout_p,
+                    side_output_channels=self._head_out_channels(),
+                    fusion=self.fusion,
+                    upsampling=self.upsampling,
+                    normalization=self.normalization,
+                    activation=self.activation,
+                    zero_init_residual=self.zero_init_residual,
+                    fused_inference=self.fused_inference,
+                    fused_training=self.fused_training,
+                    train_polyphase=self.train_polyphase,
+                    dtype=self.dtype,
+                    name=f"module{i}",
+                )(
+                    # positional: remat-wrapped modules need static_argnums
+                    x,
+                    skips.get(downscale),
+                    train,
+                    deterministic,
+                    with_side_outputs,
+                )
+                if side is not None:
+                    side_outputs.append(self._encode(side))
 
         # task head at 1/4, then x4 to full resolution
         if self.task == "instance":
@@ -408,7 +417,9 @@ class MLPDecoder(nn.Module):
         train: bool = False,
         deterministic: bool = True,
         with_side_outputs: bool = False,
+        trunk_features: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
+        del trunk_features  # dense-decoder megakernel only (decoder.py)
         levels: List[jnp.ndarray] = []
         target_hw: Optional[Tuple[int, int]] = None
         items = sorted(skips.items()) + [(None, {"_ctx": context_out})]

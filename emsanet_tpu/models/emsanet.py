@@ -213,6 +213,19 @@ class EMSANet(nn.Module):
             con_input = next(iter(enc_outputs.values()))
         con_out, con_context = self.context_module(con_input, train=train)
 
+        # whole-trunk decoder megakernel (latency regime): one Pallas
+        # call computes every dense decoder's module stack; each decoder
+        # then only runs its task head (ops/decoder_trunk.py)
+        trunk_feats: Dict[str, jnp.ndarray] = {}
+        if (
+            not train
+            and not with_side_outputs
+            and cfg.fused_inference
+            and cfg.decoder_megakernel != "off"
+            and not self.is_initializing()
+        ):
+            trunk_feats = self._trunk_megakernel(con_out, skips)
+
         outputs: Dict[str, Any] = {}
         # per-task multiscale-supervision toggles (args.py:731,757,782)
         if "semantic" in cfg.tasks:
@@ -222,6 +235,7 @@ class EMSANet(nn.Module):
                     with_side_outputs
                     and not cfg.semantic_no_multiscale_supervision
                 ),
+                trunk_features=trunk_feats.get("semantic"),
             )
         if "instance" in cfg.tasks:
             outputs["instance"] = self.instance_decoder(
@@ -230,6 +244,7 @@ class EMSANet(nn.Module):
                     with_side_outputs
                     and not cfg.instance_no_multiscale_supervision
                 ),
+                trunk_features=trunk_feats.get("instance"),
             )
         if "normal" in cfg.tasks:
             outputs["normal"] = self.normal_decoder(
@@ -238,12 +253,99 @@ class EMSANet(nn.Module):
                     with_side_outputs
                     and not cfg.normal_no_multiscale_supervision
                 ),
+                trunk_features=trunk_feats.get("normal"),
             )
         if "scene" in cfg.tasks:
             outputs["scene"] = {
                 "logits": self.scene_decoder(con_context[0])
             }
         return outputs
+
+    def _trunk_megakernel(
+        self,
+        con_out: jnp.ndarray,
+        skips: Dict[int, Dict[str, jnp.ndarray]],
+    ) -> Dict[str, jnp.ndarray]:
+        """Compute every eligible dense decoder's trunk in ONE Pallas call.
+
+        Returns {} (fall back to the per-decoder path) unless all dense
+        decoders share the flagship trunk topology and the shapes pass
+        `ops.decoder_trunk.trunk_supported` — the kernel targets the
+        dispatch-bound small-batch regime (VERDICT r3 #2).
+        """
+        cfg = self.cfg
+        from emsanet_tpu.ops.decoder_trunk import (
+            decoder_trunk,
+            stack_trunk_params,
+            trunk_supported,
+        )
+
+        tasks = [
+            t for t in ("semantic", "instance", "normal")
+            if t in cfg.tasks and getattr(cfg, f"{t}_decoder") == "emsanet"
+        ]
+        if not tasks:
+            return {}
+
+        def sig(t):
+            return (
+                getattr(cfg, f"{t}_decoder_n_channels"),
+                getattr(cfg, f"{t}_decoder_downsamplings"),
+                getattr(cfg, f"{t}_decoder_block"),
+                getattr(cfg, f"{t}_decoder_n_blocks"),
+                getattr(cfg, f"{t}_encoder_decoder_fusion"),
+                getattr(cfg, f"{t}_decoder_upsampling"),
+            )
+
+        s0 = sig(tasks[0])
+        if any(sig(t) != s0 for t in tasks[1:]):
+            return {}
+        n_channels, downsamplings, block, n_blocks, fusion, upsampling = s0
+        if (
+            block != "nonbottleneck1d"
+            or upsampling != "learned-3x3-zeropad"
+            or cfg.decoder_normalization != "batchnorm"
+            or cfg.activation != "relu"
+            or not fusion.startswith("add-")
+        ):
+            return {}
+        modality = fusion.split("-", 1)[1]
+        if modality not in ("rgb", "depth"):
+            return {}
+        skip_list = []
+        for ds in downsamplings:
+            sd = skips.get(ds)
+            if sd is None or modality not in sd:
+                return {}
+            skip_list.append(sd[modality])
+        # the kernel always applies the 1x1 skip projection (flax skips
+        # it when channels already match)
+        if any(
+            s.shape[-1] == c for s, c in zip(skip_list, n_channels)
+        ):
+            return {}
+        n, h0, w0, c0 = con_out.shape
+        on_tpu = jax.default_backend() == "tpu"
+        if cfg.decoder_megakernel == "auto" and not on_tpu:
+            return {}  # interpret mode is for tests; force with 'on'
+        if not trunk_supported(
+            n, h0, w0, n_channels, c0,
+            [s.shape[-1] for s in skip_list], n_blocks,
+            max_batch=(n if cfg.decoder_megakernel == "on" else None),
+            allow_unaligned=not on_tpu,
+        ):
+            return {}
+        v = self.variables
+        try:
+            dparams = [v["params"][f"{t}_decoder"] for t in tasks]
+            dstats = [v["batch_stats"][f"{t}_decoder"] for t in tasks]
+        except KeyError:
+            return {}
+        per_module = stack_trunk_params(
+            dparams, dstats, len(n_channels), n_blocks
+        )
+        out = decoder_trunk(con_out, skip_list, per_module)
+        return {t: out[i] for i, t in enumerate(tasks)}
 
 
 def create_model(

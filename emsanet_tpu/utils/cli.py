@@ -108,6 +108,19 @@ def build_parser() -> argparse.ArgumentParser:
                    "Pallas train kernels with custom VJP on the "
                    "bandwidth-bound chain sites (ops/nbt1d_train.py; "
                    "v5e b8 measured 102.8 -> 87.2 ms/step)")
+    g.add_argument("--fused-inference", action="store_true",
+                   help="TPU-native extension: Pallas fused inference "
+                   "path (VMEM-resident NBt1D chains, polyphase "
+                   "upsampling, fused head decode kernels) for the "
+                   "validation/eval forward — the same path bench.py "
+                   "times (v5e b32 e2e measured +29%% over unfused)")
+    g.add_argument("--head-decode-fusion", default=None,
+                   choices=("decode", "decode-both", "decode-planes",
+                            "interleave", "auto"),
+                   help="with --fused-inference: how far the final head "
+                   "x2 stages defer into the Pallas decode kernels; "
+                   "'auto' picks the measured-best mode for the "
+                   "validation batch size (config.best_head_decode_fusion)")
     g.add_argument("--rgb-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--depth-encoder-backbone-pretrained-weights-filepath")
     g.add_argument("--rgbd-encoder-backbone-pretrained-weights-filepath")
@@ -361,6 +374,13 @@ def args_to_config(args: argparse.Namespace) -> EMSANetConfig:
     )
     if getattr(args, "wandb_name", None):
         args.wandb_project = args.wandb_name
+    if getattr(args, "head_decode_fusion", None) == "auto":
+        from emsanet_tpu.config import best_head_decode_fusion
+
+        args.head_decode_fusion = best_head_decode_fusion(
+            args.validation_batch_size or args.batch_size,
+            with_postprocessing=True,
+        )
     args.encoder_decoder_fusion = None
     args.upsampling_decoder = None
 
