@@ -223,9 +223,11 @@ class ModelConfig:
     # NBt1D blocks + polyphase x2 upsample + skip fusion, 3 modules x
     # D decoders) as ONE Pallas call (ops/decoder_trunk.py) — the b1
     # whole-graph launch-count lever (VERDICT r3 #2). 'auto' engages on
-    # TPU at latency batch sizes (ops.decoder_trunk.MAX_BATCH); 'on'
-    # forces it (tests/A-B tools); 'off' disables.
-    decoder_megakernel: str = "off"
+    # TPU at latency batch sizes (ops.decoder_trunk.MAX_BATCH; the
+    # kernel streams weights per image, so it loses at batch: v5e b1
+    # e2e +2.3%, b8 -4.3%, tools/trunk_ab.py); 'on' forces it
+    # (tests/A-B tools); 'off' disables.
+    decoder_megakernel: str = "auto"
     # NOTE: a packed dual-encoder (rgb+depth as ONE stream of
     # feature_group_count=2 grouped convs, halving encoder launches) was
     # built, exactness-tested, and MEASURED LOSING on v5e (e823278:

@@ -59,10 +59,12 @@ from emsanet_tpu.ops.nbt1d_chain import fold_bn, stack_chain_params
 # largest-module tap buffers (see _DMA buffers in `decoder_trunk`)
 _MAX_C = 512
 # batch gate: the megakernel targets the dispatch-bound latency regime.
-# XLA's conv emitter wins at throughput batch (C>=256 chains measured ~2x
-# faster under XLA at b32, ops/nbt1d_chain.py header); default from the
-# round-4 in-process A/B on v5e (tools/trunk_ab.py).
-MAX_BATCH = 8
+# The kernel streams the full weight stack per (decoder, image) grid step,
+# so its weight traffic scales with batch while XLA reads weights once —
+# measured on v5e (tools/trunk_ab.py, one process, 640x480 bf16):
+#   b1: fwd 4.05 -> 3.90 ms (+3.6%), e2e 6.07 -> 5.93 ms (+2.3%)  WIN
+#   b8: fwd 14.45 -> 15.07 ms (-4.3%)                             LOSS
+MAX_BATCH = 2
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +608,7 @@ def decoder_trunk(
         (d_dec, n, g_last.h_out, g_last.w_out, g_last.c_out), cdtype
     )
 
-    skip_chunk_rows = 16
+    skip_chunk_rows = 8  # 16 exceeded the 16 MB scoped-vmem limit by ~1 MB
     max_ci = max(g.c_in for g in geoms)
     max_co = max(g.c_out for g in geoms)
     # conv_in tap buffer: wide modules stream the output channels in

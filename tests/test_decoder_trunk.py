@@ -143,8 +143,10 @@ def test_trunk_supported_flagship():
     """The flagship 640x480 R34 trunk geometry is supported at b<=8."""
     args = (15, 20, (512, 256, 128), 512, (256, 128, 64), 3)
     assert trunk_supported(1, *args)
-    assert trunk_supported(8, *args)
-    assert not trunk_supported(32, *args)  # throughput regime: XLA wins
+    # weight streaming scales with batch: out of the latency regime XLA
+    # wins (measured b8 -4.3%, tools/trunk_ab.py) — auto-gated off
+    assert not trunk_supported(8, *args)
+    assert trunk_supported(8, *args, max_batch=8)  # 'on' override
     # odd post-module widths are not (only module0 masks dead columns)
     assert not trunk_supported(1, 15, 21, (512, 256, 128), 512,
                                (256, 128, 64), 3)
