@@ -228,6 +228,12 @@ class ModelConfig:
     # e2e +2.3%, b8 -4.3%, tools/trunk_ab.py); 'on' forces it
     # (tests/A-B tools); 'off' disables.
     decoder_megakernel: str = "auto"
+    # with fused_inference: run encoder stages 2-4 of BOTH backbones +
+    # the per-stage SE fusions as ONE Pallas call (ops/encoder_trunk.py)
+    # — the companion of the decoder megakernel for the b1 latency
+    # regime. Same 'auto'/'on'/'off' semantics and batch gate
+    # (ops.encoder_trunk.MAX_BATCH).
+    encoder_megakernel: str = "off"
     # NOTE: a packed dual-encoder (rgb+depth as ONE stream of
     # feature_group_count=2 grouped convs, halving encoder launches) was
     # built, exactness-tested, and MEASURED LOSING on v5e (e823278:
@@ -458,6 +464,11 @@ class EMSANetConfig:
             raise ValueError(
                 "decoder_megakernel must be 'off', 'on' or 'auto', got "
                 f"'{m.decoder_megakernel}'"
+            )
+        if m.encoder_megakernel not in ("off", "on", "auto"):
+            raise ValueError(
+                "encoder_megakernel must be 'off', 'on' or 'auto', got "
+                f"'{m.encoder_megakernel}'"
             )
 
         # multiscale supervision forced off for decoders without side

@@ -37,7 +37,7 @@ def probe(fn, *args, runs=60):
     return t
 
 
-def build(batch, megakernel, decode_fusion):
+def build(batch, megakernel, decode_fusion, encoder_megakernel="off"):
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
     from emsanet_tpu.datasets.registry import get_dataset_config
     from emsanet_tpu.models import EMSANet, init_model
@@ -50,6 +50,7 @@ def build(batch, megakernel, decode_fusion):
             compute_dtype="bfloat16",
             fused_inference=True,
             decoder_megakernel=megakernel,
+            encoder_megakernel=encoder_megakernel,
             head_decode_fusion=decode_fusion,
         ),
         data=DataConfig(dataset="synthetic"),
@@ -70,17 +71,25 @@ def main():
     ap.add_argument("--runs", type=int, default=60)
     ap.add_argument("--force-mode", default=None,
                     help="override head_decode_fusion")
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="dec+enc megakernel pairs, e.g. off+off on+on")
     args = ap.parse_args()
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
     from emsanet_tpu.config import best_head_decode_fusion
     from emsanet_tpu.postprocessing import postprocess
 
+    variants = [
+        ("off", "off"), ("on", "off"), ("on", "on"), ("off", "on"),
+    ]
+    if args.variants:
+        variants = [tuple(v.split("+")) for v in args.variants]
     for b in args.batches:
         mode = args.force_mode or best_head_decode_fusion(b, True)
         results = {}
-        for mk in ("off", "on"):
-            cfg, model, var, is_thing, rgb, depth = build(b, mk, mode)
+        for mk, emk in variants:
+            cfg, model, var, is_thing, rgb, depth = build(
+                b, mk, mode, encoder_megakernel=emk)
             p, s = var["params"], var.get("batch_stats")
 
             @jax.jit
@@ -98,14 +107,17 @@ def main():
 
             tf = probe(fwd, p, s, rgb, depth, runs=args.runs)
             te = probe(e2e, p, s, rgb, depth, runs=args.runs)
-            results[mk] = (tf, te)
-            print(f"b{b} [{mode}] megakernel={mk}: "
+            results[(mk, emk)] = (tf, te)
+            print(f"b{b} [{mode}] dec={mk} enc={emk}: "
                   f"fwd {tf*1e3:7.2f} ms   e2e {te*1e3:7.2f} ms "
                   f"({b/te:.1f} fps)", flush=True)
-        tf0, te0 = results["off"]
-        tf1, te1 = results["on"]
-        print(f"b{b} delta: fwd {100*(tf0-tf1)/tf0:+.1f}%  "
-              f"e2e {100*(te0-te1)/te0:+.1f}%", flush=True)
+        base = variants[0]
+        tf0, te0 = results[base]
+        for v in variants[1:]:
+            tf1, te1 = results[v]
+            print(f"b{b} delta {v} vs {base}: "
+                  f"fwd {100*(tf0-tf1)/tf0:+.1f}%  "
+                  f"e2e {100*(te0-te1)/te0:+.1f}%", flush=True)
 
 
 if __name__ == "__main__":
