@@ -35,6 +35,15 @@ import jax.numpy as jnp
 LABEL_DIVISOR = 2**16  # reference label_divisor (SURVEY.md M13)
 VOID_LABEL = 0
 
+# trace-time A/B knob: batch every final-map parity interleave into one
+# stacked transpose vs one relayout per map. MEASURED LOSING both ways
+# on v5e (tools/interleave_ab.py, one process, decode-planes: b1 e2e
+# 5.91 -> 6.90 ms (-17%), b32 71.5 -> 77.6 ms (-8.5%)) — the stack +
+# M-channel transpose + per-map slices do NOT fuse and add copies,
+# while XLA's per-map relayouts are already near their floor. Kept as
+# a knob so the A/B stays reproducible.
+_BATCHED_INTERLEAVE = False
+
 
 # ---------------------------------------------------------------------------
 # semantic
@@ -290,6 +299,45 @@ def deinterleave_plane(full: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(a, (0, 2, 4, 1, 3)).reshape(
         n, 4, h // 2, w // 2
     )
+
+
+def interleave_planes_batched(
+    named: Dict[str, jnp.ndarray]
+) -> Dict[str, jnp.ndarray]:
+    """Interleave MANY (N, 4, H/2, W/2) maps with ONE stacked transpose.
+
+    Separate `interleave_plane` calls are fixed-overhead-dominated XLA
+    relayouts (b1: ~0.13 ms each for 1.2 MB maps — tools/b1_stage_probe.py
+    measured 0.515 ms for four). Stacking every final map on a trailing
+    axis amortizes that overhead into one transpose; f32 maps ride as
+    bitcast int32 (bit-exact), bool/other dtypes round-trip through a
+    cast. Exactness locked by tests/test_postproc_planes.py.
+    """
+    if not _BATCHED_INTERLEAVE:  # trace-time A/B knob (tools/decode_ab.py)
+        return {name: interleave_plane(x) for name, x in named.items()}
+    packed, metas = [], []
+    for name, x in named.items():
+        if x.dtype == jnp.float32:
+            packed.append(jax.lax.bitcast_convert_type(x, jnp.int32))
+        elif x.dtype == jnp.int32:
+            packed.append(x)
+        else:
+            packed.append(x.astype(jnp.int32))
+        metas.append((name, x.dtype))
+    z = jnp.stack(packed, axis=-1)  # (N, 4, H2, W2, M)
+    n, _, h2, w2, m_ = z.shape
+    a = z.reshape(n, 2, 2, h2, w2, m_)
+    a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
+    full = a.reshape(n, 2 * h2, 2 * w2, m_)
+    out = {}
+    for i, (name, dt) in enumerate(metas):
+        v = full[..., i]
+        if dt == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        elif dt != jnp.int32:
+            v = v.astype(dt)
+        out[name] = v
+    return out
 
 
 def interleave_planes_np(planes) -> "np.ndarray":  # noqa: F821
@@ -963,8 +1011,13 @@ def _postprocess_planes(
     n, _, h2, w2 = idx4.shape
     h, w = 2 * h2, 2 * w2
     p_total = 4 * h2 * w2
-    results["semantic_segmentation_idx"] = interleave_plane(idx4)
-    results["semantic_segmentation_score"] = interleave_plane(score4)
+    # all final full-res maps are interleaved together at the end by
+    # interleave_planes_batched (one stacked transpose instead of one
+    # fixed-overhead relayout per map)
+    to_interleave: Dict[str, jnp.ndarray] = {
+        "semantic_segmentation_idx": idx4,
+        "semantic_segmentation_score": score4,
+    }
 
     sem_full_planes = idx4 + 1  # -> full label space (void at 0)
     fg_planes = small_table_lookup(sem_full_planes, is_thing)
@@ -1015,17 +1068,17 @@ def _postprocess_planes(
             normalized_offset=cfg.instance_normalized_offset,
             offset_distance_threshold=cfg.instance_offset_distance_threshold,
         )
-        results["instance_segmentation_gt_foreground"] = interleave_plane(
+        to_interleave["instance_segmentation_gt_foreground"] = (
             inst_gt_flat.reshape(n, 4, h2, w2)
         )
 
-    results["instance_segmentation"] = interleave_plane(
-        inst_flat.reshape(n, 4, h2, w2)
+    to_interleave["instance_segmentation"] = inst_flat.reshape(
+        n, 4, h2, w2
     )
     results["instance_centers_yx"] = centers["yx"]
     results["instance_centers_score"] = centers["scores"]
     results["instance_centers_valid"] = centers["valid"]
-    results["instance_foreground"] = interleave_plane(fg_planes)
+    to_interleave["instance_foreground"] = fg_planes
     # raw head outputs in parity-plane layout (center, offset_y,
     # offset_x[, orientation]); host consumers interleave on demand
     results["instance_head_planes"] = planes
@@ -1050,22 +1103,14 @@ def _postprocess_planes(
             n_classes=n_classes_full,
             orientation_vectors=ori_flat,
         )
-        results["panoptic_segmentation_deeplab"] = interleave_plane(
-            pan["panoptic"].reshape(n, 4, h2, w2)
+        to_interleave["panoptic_segmentation_deeplab"] = pan[
+            "panoptic"].reshape(n, 4, h2, w2)
+        to_interleave["panoptic_segmentation_deeplab_panoptic_score"] = (
+            pan["panoptic_score"].astype(jnp.float32).reshape(n, 4, h2, w2)
         )
-        results["panoptic_segmentation_deeplab_panoptic_score"] = (
-            interleave_plane(
-                pan["panoptic_score"].astype(jnp.float32).reshape(
-                    n, 4, h2, w2
-                )
-            )
+        to_interleave["panoptic_segmentation_deeplab_semantic_idx"] = (
+            pan["pixel_instance_semantic"].reshape(n, 4, h2, w2)
         )
-        results["panoptic_segmentation_deeplab_semantic_idx"] = (
-            interleave_plane(
-                pan["pixel_instance_semantic"].reshape(n, 4, h2, w2)
-            )
-        )
-        results["panoptic_foreground_mask"] = results["instance_foreground"]
         results["panoptic_instance_meta_semantic_idx"] = pan[
             "instance_meta_semantic_idx"
         ]
@@ -1103,5 +1148,9 @@ def _postprocess_planes(
         scene = postprocess_scene(outputs["scene"]["logits"])
         results["scene_class_idx"] = scene["class_idx"]
         results["scene_class_score"] = scene["class_score"]
+
+    results.update(interleave_planes_batched(to_interleave))
+    if pan is not None:
+        results["panoptic_foreground_mask"] = results["instance_foreground"]
 
     return results
