@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -87,20 +88,78 @@ def get_backbone_spec(name: str) -> BackboneSpec:
     )
 
 
+# trace-time A/B knobs for the space-to-depth stem (tools/stem_ab.py):
+# eval-mode rewrite on/off, and the (separately measured) train-mode
+# enable — the rewrite is exact and differentiable, but the training
+# graph only changes once a train-step A/B clears it
+STEM_SPACE_TO_DEPTH = True
+STEM_SPACE_TO_DEPTH_TRAIN = False
+
+
 class ResNetStem(nn.Module):
-    """7x7/2 conv + norm + act + 3x3/2 maxpool -> 1/4 resolution."""
+    """7x7/2 conv + norm + act + 3x3/2 maxpool -> 1/4 resolution.
+
+    With `space_to_depth` the strided 7x7 runs in its exact
+    space-to-depth form: the input is 2x2-pixel-packed to (H/2, W/2, 4C)
+    and the conv becomes a stride-1 4x4 conv whose kernel is a pure
+    zero-pad + reshape of the SAME (7,7,C,F) parameter — XLA:TPU lowers
+    strided convs over 1/3-channel inputs pathologically (measured
+    3.3 + 2.7 ms of the 52 ms b32 flagship forward vs a ~0.6 ms
+    roofline, tools/fwd_breakdown.py; the packed form measured 4.6x
+    faster). Derivation: output row reads input rows 2i+d, d in [-3,3];
+    packed row u = i + floor(d/2), parity s = d mod 2, so kernel tap
+    a' = d+4 in the (3,3)->(4,4)-padded kernel splits exactly as
+    a' = 2*(du+2) + s — a reshape. Param tree and numerics (up to conv
+    accumulation order) are unchanged; checkpoints interchangeable.
+    """
 
     features: int = 64
     normalization: str = "batchnorm"
     activation: str = "relu"
+    space_to_depth: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
+        n, h, w, c = x.shape
+        conv = nn.Conv(
             self.features, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype,
-        )(x)
+            use_bias=False, dtype=self.dtype, name="Conv_0",
+        )
+        if (
+            self.space_to_depth
+            and STEM_SPACE_TO_DEPTH  # trace-time A/B knob
+            and (not train or STEM_SPACE_TO_DEPTH_TRAIN)
+            # measured gate (tools/stem_ab.py, v5e 480x640 bf16): the
+            # 1-channel (depth) stem wins at every batch (b32 standalone
+            # 3.18 -> 2.77 ms); the 3-channel stem wins only in the
+            # launch-bound latency regime (b1 e2e +8.6%, 5.88 -> 5.37 ms)
+            # and LOSES at throughput (b32 standalone 3.78 -> 4.86 ms)
+            and (c == 1 or n <= 2)
+            and h % 2 == 0
+            and w % 2 == 0
+            and not self.is_initializing()
+        ):
+            k7 = self.variables["params"]["Conv_0"]["kernel"]  # (7,7,C,F)
+            f = k7.shape[-1]
+            # tap d+4 in the (1,0)-padded 8x8 kernel = (2*(du+2) + s)
+            k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k4 = k8.reshape(4, 2, 4, 2, c, f)
+            k4 = jnp.transpose(k4, (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * c, f)
+            xp = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(
+                n, h // 2, w // 2, 4 * c
+            )
+            dt = jnp.dtype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                xp.astype(dt),
+                k4.astype(dt),
+                window_strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = conv(x)
         x = Norm(self.normalization, dtype=self.dtype)(x, train=train)
         x = get_activation_fn(self.activation)(x)
         x = nn.max_pool(

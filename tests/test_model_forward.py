@@ -175,3 +175,27 @@ def test_reduced_skip_connections(rng, small_shape):
     out = model.apply(variables, _make_batch(cfg, 1), train=False)
     h, w = small_shape
     assert out["semantic"]["logits"].shape == (1, h, w, 40)
+
+
+def test_stem_space_to_depth_exact():
+    """The space-to-depth stem (strided 7x7 -> packed 4x4, pure kernel
+    reshape) matches the plain stem on the same params up to conv
+    accumulation order (models/backbone.py::ResNetStem)."""
+    import numpy as np
+
+    from emsanet_tpu.models.backbone import ResNetStem
+
+    rng = np.random.RandomState(0)
+    for c, dt, tol in ((3, jnp.float32, 1e-5), (1, jnp.float32, 1e-5),
+                       (3, jnp.bfloat16, 0.05)):
+        x = jnp.asarray(rng.randn(2, 64, 96, c), jnp.float32)
+        # n=2 <= the latency gate, so the packed path engages for c=3 too
+        a = ResNetStem(space_to_depth=True, dtype=dt)
+        b = ResNetStem(space_to_depth=False, dtype=dt)
+        v = a.init(jax.random.PRNGKey(0), x)
+        v = jax.tree.map(
+            lambda l: jnp.asarray(rng.randn(*l.shape) * 0.1, l.dtype)
+            if l.ndim == 4 else l, v)
+        ya = np.asarray(a.apply(v, x), np.float32)
+        yb = np.asarray(b.apply(v, x), np.float32)
+        np.testing.assert_allclose(ya, yb, rtol=tol, atol=tol)
