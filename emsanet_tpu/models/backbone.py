@@ -89,11 +89,12 @@ def get_backbone_spec(name: str) -> BackboneSpec:
 
 
 # trace-time A/B knobs for the space-to-depth stem (tools/stem_ab.py):
-# eval-mode rewrite on/off, and the (separately measured) train-mode
-# enable — the rewrite is exact and differentiable, but the training
-# graph only changes once a train-step A/B clears it
+# eval-mode rewrite on/off, and the train-mode enable. Train measured a
+# win under autodiff too (tools/stem_train_ab.py, one process, b8 fused:
+# 72.48 -> 71.47 ms/step — the depth stem; the rgb stem stays strided at
+# train batch sizes via the c/n gate below).
 STEM_SPACE_TO_DEPTH = True
-STEM_SPACE_TO_DEPTH_TRAIN = False
+STEM_SPACE_TO_DEPTH_TRAIN = True
 
 
 class ResNetStem(nn.Module):
