@@ -92,7 +92,9 @@ def get_backbone_spec(name: str) -> BackboneSpec:
 # eval-mode rewrite on/off, and the train-mode enable. Train measured a
 # win under autodiff too (tools/stem_train_ab.py, one process, b8 fused:
 # 72.48 -> 71.47 ms/step — the depth stem; the rgb stem stays strided at
-# train batch sizes via the c/n gate below).
+# train batch sizes via the c/n gate below). NOTE: these are read at
+# TRACE time — toggling them does not invalidate existing jit caches;
+# A/B tools must build a fresh jitted closure per setting.
 STEM_SPACE_TO_DEPTH = True
 STEM_SPACE_TO_DEPTH_TRAIN = True
 
@@ -117,7 +119,9 @@ class ResNetStem(nn.Module):
     features: int = 64
     normalization: str = "batchnorm"
     activation: str = "relu"
-    space_to_depth: bool = True
+    # None = measured auto-gate (depth stem always, rgb stem at n<=2);
+    # True = force the packed form (A/B tools); False = always strided
+    space_to_depth: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -127,16 +131,21 @@ class ResNetStem(nn.Module):
             self.features, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="Conv_0",
         )
+        # measured auto-gate (tools/stem_ab.py, v5e 480x640 bf16): the
+        # 1-channel (depth) stem wins at every batch (b32 standalone
+        # 3.18 -> 2.77 ms); the 3-channel stem wins only in the
+        # launch-bound latency regime (b1 e2e +8.6%, 5.88 -> 5.37 ms)
+        # and LOSES at throughput (b32 standalone 3.78 -> 4.86 ms)
+        if self.space_to_depth is None:
+            use_s2d = (
+                STEM_SPACE_TO_DEPTH
+                and (not train or STEM_SPACE_TO_DEPTH_TRAIN)
+                and (c == 1 or n <= 2)
+            )
+        else:
+            use_s2d = self.space_to_depth
         if (
-            self.space_to_depth
-            and STEM_SPACE_TO_DEPTH  # trace-time A/B knob
-            and (not train or STEM_SPACE_TO_DEPTH_TRAIN)
-            # measured gate (tools/stem_ab.py, v5e 480x640 bf16): the
-            # 1-channel (depth) stem wins at every batch (b32 standalone
-            # 3.18 -> 2.77 ms); the 3-channel stem wins only in the
-            # launch-bound latency regime (b1 e2e +8.6%, 5.88 -> 5.37 ms)
-            # and LOSES at throughput (b32 standalone 3.78 -> 4.86 ms)
-            and (c == 1 or n <= 2)
+            use_s2d
             and h % 2 == 0
             and w % 2 == 0
             and not self.is_initializing()

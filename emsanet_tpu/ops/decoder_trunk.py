@@ -72,13 +72,8 @@ MAX_BATCH = 2
 # see ops/polyphase_upsample.py for the derivation)
 # ---------------------------------------------------------------------------
 
-_PARITY_MAP = np.zeros((2, 3, 3), dtype=np.float32)
-_PARITY_MAP[0, 0, 0] = 1.0
-_PARITY_MAP[0, 1, 1] = 1.0
-_PARITY_MAP[0, 1, 2] = 1.0
-_PARITY_MAP[1, 1, 0] = 1.0
-_PARITY_MAP[1, 1, 1] = 1.0
-_PARITY_MAP[1, 2, 2] = 1.0
+# single source of truth for the exactness-critical tap table
+from emsanet_tpu.ops.polyphase_upsample import _PARITY_MAP  # noqa: E402
 
 # static nonzero (di, dj) taps per parity (p, q): 5 of 9 are structural
 # zeros (kernel-domain finding, CLAUDE.md round-3 session-3)

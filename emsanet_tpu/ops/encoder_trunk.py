@@ -85,9 +85,9 @@ def encoder_trunk_supported(n: int, h4: int, w4: int,
         return False
     if c_in > _MAX_C or max(stage_features) > _MAX_C:
         return False
-    # merged stage-2 input width, then the 1/8 and 1/16 widths, ride
-    # sublanes in HBM DMAs; the 1/32 width only appears padded
-    if (w4 // 2) % 8 or (w4 // 2) % 8 or (w4 // 4) % 8:
+    # the merged stage-2 input width (= the 1/8 width) and the 1/16
+    # width ride sublanes in HBM DMAs; the 1/32 width only appears padded
+    if (w4 // 2) % 8 or (w4 // 4) % 8:
         return False
     return True
 
@@ -304,13 +304,14 @@ def _strided_block(x, r, m, ci, c, merged_in, load_w, wblk):
     z3 = _conv1x3(z2, wblk[:3, :c, :c], vec[m, 3])
     z3 = z3 * v(6) + v(7)  # Norm_1
 
-    # shortcut: 1x1 stride (2, 2) + Norm_2 — reads x[2i, 2j]
+    # shortcut: 1x1 stride (2, 2) + Norm_2 — reads x[2i, 2j]. sc_w is
+    # VMEM-resident (a _STAGE_SMALL operand): read it directly instead
+    # of a pointless VMEM->VMEM DMA bounce through wblk
     if merged_in:
         sc_in = re_[..., :ci]  # even rows, lane block 0 = even columns
     else:
         sc_in = _col_parity(re_)[0]
-    load_w(r["sc_w"].at[m], wblk.at[0, :ci, :c])
-    sc = _mm(sc_in, wblk[0, :ci, :c]) * v(8) + v(9)
+    sc = _mm(sc_in, r["sc_w"][m]) * v(8) + v(9)
     return jax.nn.relu(z3 + sc).astype(cdtype)
 
 

@@ -206,3 +206,31 @@ def test_decode_both_matches_interleaved():
             np.asarray(res_b[key]), np.asarray(res_i[key]),
             rtol=1e-5, atol=1e-5, err_msg=key,
         )
+
+
+def test_interleave_planes_batched_exact():
+    """The batched (stacked bitcast transpose) interleave matches the
+    per-map `interleave_plane` bit-exactly for every dtype it packs
+    (the _BATCHED_INTERLEAVE A/B knob's correctness lock)."""
+    import numpy as np
+
+    import emsanet_tpu.postprocessing as pp
+
+    rng = np.random.RandomState(0)
+    named = {
+        "idx": jnp.asarray(rng.randint(0, 41, (2, 4, 6, 10)), jnp.int32),
+        "score": jnp.asarray(rng.rand(2, 4, 6, 10), jnp.float32),
+        "fg": jnp.asarray(rng.rand(2, 4, 6, 10) > 0.5),
+    }
+    ref = {k: pp.interleave_plane(v) for k, v in named.items()}
+    old = pp._BATCHED_INTERLEAVE
+    try:
+        pp._BATCHED_INTERLEAVE = True
+        got = pp.interleave_planes_batched(named)
+    finally:
+        pp._BATCHED_INTERLEAVE = old
+    assert sorted(got) == sorted(ref)
+    for k in ref:
+        assert got[k].dtype == ref[k].dtype, k
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]))

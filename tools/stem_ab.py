@@ -51,14 +51,14 @@ def main():
     from emsanet_tpu.models.backbone import ResNetStem
     from emsanet_tpu.postprocessing import postprocess
 
-    # --- standalone stem at b32 -------------------------------------------
+    # --- standalone stem at b32 (space_to_depth FORCED per variant so the
+    # measurement bypasses the production c/n auto-gate) -------------------
     rng = np.random.RandomState(0)
     for c in (3, 1):
         x = jnp.asarray(rng.randn(32, 480, 640, c), jnp.bfloat16)
-        stem = ResNetStem(dtype=jnp.bfloat16)
-        v = stem.init(jax.random.PRNGKey(0), x)
         for s2d in (False, True):
-            bb.STEM_SPACE_TO_DEPTH = s2d
+            stem = ResNetStem(space_to_depth=s2d, dtype=jnp.bfloat16)
+            v = stem.init(jax.random.PRNGKey(0), x)
 
             @jax.jit
             def f(v, x):
