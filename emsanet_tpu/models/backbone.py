@@ -90,7 +90,7 @@ def get_backbone_spec(name: str) -> BackboneSpec:
 
 # trace-time A/B knobs for the space-to-depth stem (tools/stem_ab.py):
 # eval-mode rewrite on/off, and the train-mode enable. Train measured a
-# win under autodiff too (tools/stem_train_ab.py, one process, b8 fused:
+# win under autodiff too (tools/stem_ab.py --train, one process, b8 fused:
 # 72.48 -> 71.47 ms/step — the depth stem; the rgb stem stays strided at
 # train batch sizes via the c/n gate below). NOTE: these are read at
 # TRACE time — toggling them does not invalidate existing jit caches;

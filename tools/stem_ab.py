@@ -36,11 +36,45 @@ def probe(fn, *args, runs=60):
     return t
 
 
+def train_ab(args):
+    """Train-mode leg: packed stems in the TRAINING graph (b8 fused).
+
+    Measured (one process, v5e): 72.48 -> 71.47 ms/step — the depth stem
+    wins under autodiff too (the rgb stem stays strided at train batch
+    sizes via the production c/n gate).
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import emsanet_tpu.models.backbone as bb
+    from train_ab import build
+    from train_breakdown import synth_batch
+    from train_remat_ab import time_train
+
+    n = args.train_batch
+    print(f"device={jax.devices()[0].device_kind} b{n} 480x640 bf16",
+          flush=True)
+    batch = None
+    for s2d_train in (False, True):
+        bb.STEM_SPACE_TO_DEPTH_TRAIN = s2d_train
+        cfg, model, variables = build(n, 480, 640, fused_training=True)
+        if batch is None:
+            batch = synth_batch(cfg, n)
+        time_train(f"fused train step stem-s2d={s2d_train}", cfg, model,
+                   variables, batch, max(args.runs // 2, 10))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[32, 1])
     ap.add_argument("--runs", type=int, default=60)
+    ap.add_argument("--train", action="store_true",
+                    help="run the train-step stem A/B instead")
+    ap.add_argument("--train-batch", type=int, default=8)
     args = ap.parse_args()
+    if args.train:
+        return train_ab(args)
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
     import emsanet_tpu.models.backbone as bb
