@@ -32,6 +32,10 @@ from emsanet_tpu.models.upsampling import Upsampling, resize_bilinear
 
 Dtype = Any
 
+# trace-time A/B knob (tools/taskconv_ab.py): run the instance head's
+# three tiny task convs as one block-diagonal conv at inference
+_FUSED_TASK_CONV = True
+
 
 class EncoderDecoderFusion(nn.Module):
     """'add-rgb'/'add-depth' skip fusion: 1x1-conv projection + add."""
@@ -289,20 +293,58 @@ class DenseDecoder(nn.Module):
                 normalization=self.normalization, activation=self.activation,
                 dtype=self.dtype, name="head_shared_conv",
             )(x, train=train)
-            outs = []
             out_channels = (1, 2, 2)[:n_subtasks]
-            for t in range(n_subtasks):
-                sl = h[
-                    ...,
-                    t * self.n_channels_per_task : (t + 1) * self.n_channels_per_task,
-                ]
-                outs.append(
-                    nn.Conv(
-                        out_channels[t], (3, 3), use_bias=True,
-                        dtype=self.dtype, name=f"head_task_conv{t}",
-                    )(sl)
-                )
-            pred = jnp.concatenate(outs, axis=-1)
+            if (
+                self.fused_inference
+                and _FUSED_TASK_CONV  # trace-time A/B knob
+                and not train
+                and not self.is_initializing()
+            ):
+                # run the three tiny task convs (1/2/2 output channels:
+                # terrible MXU lane utilization as separate XLA convs +
+                # three input slices) as ONE conv whose kernel is the
+                # block-diagonal assembly of the SAME parameters at
+                # trace time — exact up to accumulation order (the
+                # off-block weights are exact zeros), locked by
+                # tests/test_nbt1d_chain.py::
+                # test_fused_model_forward_matches_unfused
+                v = self.variables["params"]
+                cpt = self.n_channels_per_task
+                total = sum(out_channels)
+                wc = jnp.zeros(
+                    (3, 3, cpt * n_subtasks, total), jnp.float32)
+                biases = []
+                off = 0
+                for t in range(n_subtasks):
+                    k = v[f"head_task_conv{t}"]["kernel"]
+                    biases.append(v[f"head_task_conv{t}"]["bias"])
+                    wc = wc.at[
+                        :, :, t * cpt:(t + 1) * cpt,
+                        off:off + out_channels[t],
+                    ].set(k.astype(jnp.float32))
+                    off += out_channels[t]
+                dt = jnp.dtype(self.dtype)
+                pred = jax.lax.conv_general_dilated(
+                    h.astype(dt), wc.astype(dt),
+                    window_strides=(1, 1),
+                    padding=[(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.concatenate(biases).astype(dt)
+            else:
+                outs = []
+                for t in range(n_subtasks):
+                    sl = h[
+                        ...,
+                        t * self.n_channels_per_task
+                        : (t + 1) * self.n_channels_per_task,
+                    ]
+                    outs.append(
+                        nn.Conv(
+                            out_channels[t], (3, 3), use_bias=True,
+                            dtype=self.dtype, name=f"head_task_conv{t}",
+                        )(sl)
+                    )
+                pred = jnp.concatenate(outs, axis=-1)
         else:
             pred = nn.Conv(
                 self._head_out_channels(), (3, 3), use_bias=True,
