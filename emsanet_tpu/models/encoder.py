@@ -34,6 +34,14 @@ Dtype = Any
 # downscale after stem and after each stage for a downsampling-32 backbone
 _STAGE_DOWNSCALES = (4, 4, 8, 16, 32)
 
+# fused stem megakernel (ops/stem.py): both stems' conv+BN+ReLU+maxpool
+# as one Pallas call over a shared packed input. Trace-time A/B knob —
+# toggling does not invalidate jit caches (tools/stem_ab.py builds fresh
+# closures per setting). Measured on v5e (tools/stem_kernel_bench.py,
+# 480x640 bf16, rgb+depth): b1 1.02 -> 0.24 ms, b8 3.44 -> 1.69,
+# b32 6.96 -> 4.71 vs the best XLA stem paths.
+STEM_MEGAKERNEL = True
+
 
 class SEFusion(nn.Module):
     """SE-weighted additive fusion of two modality feature maps.
@@ -155,11 +163,27 @@ class FusedEncoder(nn.Module):
         cfg = self.cfg
         skip_downscales = set(cfg.encoder_decoder_skip_downsamplings)
         feats = {}
-        for mod in self.specs:
-            stem = getattr(self, f"{mod}_stem")
-            feats[mod] = stem(
-                inputs[mod].astype(self._dtype), train=train
-            )
+        if self._use_stem_megakernel(inputs, train):
+            from emsanet_tpu.ops import stem as stem_ops
+
+            mods = list(self.specs)
+            params = self.variables["params"]
+            stats = self.variables["batch_stats"]
+            xs, k7s, bns = [], [], []
+            for m in mods:
+                xs.append(inputs[m].astype(self._dtype))
+                k7s.append(params[f"{m}_stem"]["Conv_0"]["kernel"])
+                bp = params[f"{m}_stem"]["Norm_0"]["BatchNorm_0"]
+                bs = stats[f"{m}_stem"]["Norm_0"]["BatchNorm_0"]
+                bns.append((bp["scale"], bp["bias"], bs["mean"], bs["var"]))
+            outs = stem_ops.fused_stems(tuple(xs), tuple(k7s), tuple(bns))
+            feats = dict(zip(mods, outs))
+        else:
+            for mod in self.specs:
+                stem = getattr(self, f"{mod}_stem")
+                feats[mod] = stem(
+                    inputs[mod].astype(self._dtype), train=train
+                )
 
         skips: Dict[int, Dict[str, jnp.ndarray]] = {}
         fused_mod = self._fuse_into
@@ -184,6 +208,34 @@ class FusedEncoder(nn.Module):
                 skips[downscale] = dict(feats)
 
         return feats, skips
+
+    def _use_stem_megakernel(self, inputs, train: bool) -> bool:
+        """Gate for the fused stem megakernel (ops/stem.py).
+
+        Inference-only (folded running-stat BN); every registry backbone
+        uses the standard 64-feature ResNetStem, so eligibility is just
+        the norm/act contract plus the kernel's shape support (all
+        modalities share one packed input, so spatial shapes must match
+        and 4 * total input channels must fit the 16 packed slots).
+        """
+        cfg = self.cfg
+        if train or not STEM_MEGAKERNEL or not cfg.fused_inference:
+            return False
+        if self.is_initializing():
+            return False
+        if (
+            cfg.encoder_normalization != "batchnorm"
+            or cfg.activation != "relu"
+        ):
+            return False
+        shapes = [inputs[m].shape for m in self.specs]
+        if any(s[:3] != shapes[0][:3] for s in shapes):
+            return False
+        from emsanet_tpu.ops.stem import stem_kernel_supported
+
+        _, h, w = shapes[0][:3]
+        c_total = sum(s[3] for s in shapes)
+        return stem_kernel_supported(h, w, c_total)
 
     def _use_encoder_megakernel(self, feats, train: bool) -> bool:
         """Gate for the stage-2..4 megakernel (ops/encoder_trunk.py).
