@@ -373,6 +373,11 @@ class TrainConfig:
     resume_ckpt_filepath: Optional[str] = None
     weights_filepath: Optional[str] = None
     overfit_n_batches: int = -1  # args.py:1133
+    # TPU-extra: validate on the (overfit-subset) TRAIN samples through the
+    # eval preprocessing path — the memorization/convergence proof for
+    # overfit mode (no reference flag; reference validation always uses the
+    # val split even when overfitting, args.py:1133)
+    validation_on_train: bool = False
     skip_sanity_check: bool = False  # args.py:1122
     validation_only: bool = False
     visualize_validation: bool = False

@@ -358,10 +358,82 @@ class DataHelper:
             loader.dataset.preprocessor = preprocessor
 
 
+class TrainSubsetView:
+    """Read-only view of a dataset restricted to fixed indices.
+
+    Used by `--validation-on-train` to validate on the exact overfit
+    training subset (through the eval preprocessor). Delegates sample
+    access to a private base dataset instance; `preprocessor` assignment
+    forwards to the base (the DataLoader sets it via `loader.dataset`).
+    """
+
+    def __init__(self, base: SceneAnalysisDataset, indices):
+        self._base = base
+        self._indices = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, idx):
+        return self._base[int(self._indices[idx])]
+
+    def load_raw(self, idx):
+        return self._base.load_raw(int(self._indices[idx]))
+
+    @property
+    def cameras(self):
+        return self._base.cameras
+
+    @property
+    def config(self):
+        return self._base.config
+
+    @property
+    def preprocessor(self):
+        return self._base.preprocessor
+
+    @preprocessor.setter
+    def preprocessor(self, value):
+        self._base.preprocessor = value
+
+    def __getattr__(self, name):
+        # any other dataset attribute (depth stats, label lists, ...);
+        # private names raise to keep deepcopy/pickle reconstruction safe
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._base, name)
+
+
 def get_datahelper(cfg: EMSANetConfig) -> DataHelper:
     """Factory mirroring `get_datahelper` (emsanet/data.py:476-498)."""
     dataset_train = get_dataset(cfg.data, cfg.model, cfg.data.split)
-    dataset_valid = get_dataset(cfg.data, cfg.model, cfg.data.validation_split)
+    if cfg.train.validation_on_train:
+        # validate on the train split; restricted to the deterministic
+        # overfit subset when overfit mode is active (the convergence proof)
+        dataset_valid = get_dataset(cfg.data, cfg.model, cfg.data.split)
+        if cfg.train.overfit_n_batches > 0:
+            sampler = RandomSamplerSubset(
+                len(dataset_train),
+                subset=min(
+                    cfg.train.overfit_n_batches * cfg.data.batch_size
+                    / max(len(dataset_train), 1),
+                    1.0,
+                ),
+                deterministic=True,
+                seed=cfg.train.seed,
+            )
+            if len(dataset_valid.cameras) > 1:
+                print("[emsanet-tpu] --validation-on-train: multi-camera "
+                      "dataset; validating on the FULL train split "
+                      "(per-camera subsetting unsupported)")
+            else:
+                dataset_valid = TrainSubsetView(
+                    dataset_valid, np.sort(sampler.indices(0))
+                )
+    else:
+        dataset_valid = get_dataset(
+            cfg.data, cfg.model, cfg.data.validation_split
+        )
     return DataHelper(
         dataset_train=dataset_train,
         dataset_valid=dataset_valid,

@@ -247,6 +247,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[DEPRECATED] use "
                    "--semantic-class-weighting-logarithmic-c")
     g.add_argument("--overfit-n-batches", type=int, default=-1)
+    g.add_argument("--validation-on-train", action="store_true",
+                   help="validate on the (overfit-subset) train samples "
+                   "through the eval preprocessing path instead of the "
+                   "validation split — the overfit convergence proof")
     g.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all local)")
     g.add_argument("--distributed", action="store_true",

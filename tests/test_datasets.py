@@ -230,3 +230,61 @@ def test_process_workers_match_thread_workers(tmp_path):
         for k in bt:
             if isinstance(bt[k], np.ndarray):
                 np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
+
+
+def test_validation_on_train_overfit_subset():
+    """--validation-on-train: val loader serves the exact overfit subset.
+
+    The validation dataset must be the train split restricted to the
+    deterministic overfit sampler indices (the convergence-proof path;
+    no reference analog — reference overfit mode keeps validating on the
+    val split, args.py:1133).
+    """
+    from emsanet_tpu.config import EMSANetConfig
+    from emsanet_tpu.data import RandomSamplerSubset, get_datahelper
+
+    cfg = EMSANetConfig()
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_n_samples = 12
+    cfg.data.batch_size = 4
+    cfg.data.n_workers = 1
+    cfg.train.overfit_n_batches = 2
+    cfg.train.validation_on_train = True
+
+    data = get_datahelper(cfg)
+    # train sampler subset = 8 of 12 samples, deterministic
+    sampler = RandomSamplerSubset(
+        12, subset=8 / 12, deterministic=True, seed=cfg.train.seed
+    )
+    expected = sorted(
+        f"{i:04d}" for i in np.asarray(sampler.indices(0))
+    )
+    assert len(data.dataset_valid) == 8
+    got = sorted(
+        data.dataset_valid[i]["identifier"][-1] for i in range(8)
+    )
+    assert got == expected
+    # identifiers come from the TRAIN split
+    assert all(
+        data.dataset_valid[i]["identifier"][0] == "train" for i in range(8)
+    )
+    # preprocessor assignment must forward through the subset view
+    marker = lambda s: s  # noqa: E731
+    data.set_valid_preprocessor(marker)
+    assert data.dataset_valid.preprocessor is marker
+
+
+def test_validation_on_train_full_split_without_overfit():
+    from emsanet_tpu.config import EMSANetConfig
+    from emsanet_tpu.data import get_datahelper
+
+    cfg = EMSANetConfig()
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_n_samples = 6
+    cfg.data.batch_size = 2
+    cfg.data.n_workers = 1
+    cfg.train.validation_on_train = True
+
+    data = get_datahelper(cfg)
+    assert len(data.dataset_valid) == 6
+    assert data.dataset_valid[0]["identifier"][0] == "train"
