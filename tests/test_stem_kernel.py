@@ -84,11 +84,6 @@ def test_stem_kernel_multi_tile():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
-    # explicit tiny tile exercises every realign branch
-    k7s = tuple(
-        _stem_vars(c, s)["params"]["Conv_0"]["kernel"]
-        for c, s in [(3, 5), (1, 6)]
-    )
 
 
 def test_encoder_stem_megakernel_parity():
