@@ -233,3 +233,54 @@ def test_dryrun_multichip_flagship_topology():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(min(len(jax.devices()), 8))
+
+
+@pytest.mark.slow
+def test_overfit_convergence_semantic_scene():
+    """Learnability lock (VERDICT r4 #1): the assembled model + losses +
+    targets must MEMORIZE a fixed batch, not merely descend.
+
+    80 SGD steps on one fixed 4-sample synthetic batch (64x64 resnet18
+    flagship topology) must reach semantic mIoU >= 0.70 and scene
+    accuracy >= 0.75 evaluated in eval mode on that same batch
+    (calibrated: mIoU 0.85 @ step 60, 0.92 @ step 100, lr 0.02; a
+    sign-flipped target or masked-out loss term fails this hard).
+    Companion: the full-res flagship overfit-to-convergence proof on the
+    real chip in results_samples/overfit_r5/ (mIoU/PQ/bAcc near 1).
+    """
+    from emsanet_tpu.metrics import MeanIoU
+    from emsanet_tpu.training.optim import set_learning_rate
+
+    cfg = _tiny_cfg()
+    ds_config = get_metadata_config("nyuv2")
+    model = EMSANet(cfg=cfg.model, dataset_config=ds_config)
+    variables = init_model(model, jax.random.PRNGKey(0), train=True)
+    tx = get_optimizer(cfg.train)
+    state = create_train_state(model, variables, tx)
+    batch = _train_batch(cfg, n=4)
+    state = state.replace(
+        opt_state=set_learning_rate(state.opt_state, 0.02)
+    )
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+    rng = jax.random.PRNGKey(1)
+    for i in range(80):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {k: batch[k] for k in ("rgb", "depth") if k in batch},
+        train=False,
+    )
+    sem_gt = np.asarray(batch["semantic"]).astype(np.int64)
+    pred = np.asarray(jnp.argmax(out["semantic"]["logits"], -1)) + 1
+    miou = MeanIoU(n_classes=int(sem_gt.max()) + 1)
+    miou.update(pred, sem_gt)
+    assert miou.compute() >= 0.70, f"overfit mIoU {miou.compute():.3f}"
+
+    # scene logits are in the void-stripped space (0 = void in targets,
+    # losses.py::cross_entropy_scene), so predicted label = argmax + 1
+    scene_pred = np.asarray(jnp.argmax(out["scene"]["logits"], -1)) + 1
+    scene_gt = np.asarray(batch["scene"]).reshape(-1)
+    acc = float((scene_pred == scene_gt).mean())
+    assert acc >= 0.75, (scene_pred, scene_gt)
