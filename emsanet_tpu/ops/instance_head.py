@@ -49,7 +49,8 @@ def encodings_for(
     return tuple(enc[:n_channels])
 
 
-def _pick_tile(h: int, w: int, c: int, itemsize: int) -> int:
+def _pick_tile(h: int, w: int, c: int, itemsize: int,
+               interleaved: bool = False) -> int:
     """Largest divisor row-tile (8-aligned preferred) fitting VMEM."""
 
     def fits(tile):
@@ -60,6 +61,9 @@ def _pick_tile(h: int, w: int, c: int, itemsize: int) -> int:
             + 2 * r * c * w * 4  # accumulator + transient tap
             + 2 * 4 * tile * c * w * 4  # pipelined output windows
         )
+        if interleaved:
+            # relayout temporaries for the in-kernel x2 interleave
+            est += 2 * 4 * tile * c * w * 4
         return est <= _VMEM_BUDGET
 
     for tile in range(h, 0, -1):
@@ -111,6 +115,7 @@ def _head_kernel(
     encodings: Tuple[int, ...],
     n_out: int,
     padded: bool,
+    interleave_out: bool = False,
 ):
     r = tile_h + 2
     step = pl.program_id(0)
@@ -177,6 +182,7 @@ def _head_kernel(
         return shift_idx in ((0, 1) if par == 0 else (1, 2))
 
     taps = {}
+    encs = []
     for p in range(4):
         acc = None
         for di in range(3):
@@ -196,12 +202,33 @@ def _head_kernel(
         enc = jnp.where(
             sig, jax.nn.sigmoid(own), jnp.where(tnh, jnp.tanh(own), own)
         )
+        encs.append(enc)
+
+    if interleave_out:
+        # full-res interleaved write: out[ch, 2y+p, 2x+q] = enc[p*2+q][y, x].
+        # Columns via the minor-axis memory trick ((W, 2) == (2W,) row-
+        # major), rows via the leading-dim stack+reshape the decoder
+        # megakernel proved lowers in Mosaic (ops/decoder_trunk.py::
+        # _rows_interleave).
+        wp = encs[0].shape[-1]
+        w_out = out_ref.shape[-1]
+        for ch in range(n_out):
+            r0 = jnp.stack(
+                [encs[0][:, ch, :], encs[1][:, ch, :]], axis=-1
+            ).reshape(tile_h, 2 * wp)
+            r1 = jnp.stack(
+                [encs[2][:, ch, :], encs[3][:, ch, :]], axis=-1
+            ).reshape(tile_h, 2 * wp)
+            full = jnp.stack([r0, r1], axis=1).reshape(2 * tile_h, 2 * wp)
+            out_ref[0, ch] = full[:, :w_out]
+    else:
         # per-channel writes: channel is a MAJOR output dim, so the
         # consumer's per-channel map is a free slice (a rank-5 output
         # with channels second-minor measured 4.4 ms of relayout at b32
         # just to slice the 5 maps back out)
-        for ch in range(n_out):
-            out_ref[0, ch, p] = enc[:, ch, :]
+        for p in range(4):
+            for ch in range(n_out):
+                out_ref[0, ch, p] = encs[p][:, ch, :]
 
 
 @functools.partial(
@@ -282,6 +309,105 @@ def instance_head_upsample(
         interpret=interpret,
     )(xt, kp)
     return planes[..., :w2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("encodings", "interpret", "tile_h")
+)
+def instance_head_upsample_interleaved(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    encodings: Tuple[int, ...] = (ENC_SIGMOID, ENC_TANH, ENC_TANH,
+                                  ENC_IDENTITY, ENC_IDENTITY),
+    interpret: bool = False,
+    tile_h: int | None = None,
+) -> jnp.ndarray:
+    """Like `instance_head_upsample` but emits full-res interleaved maps.
+
+    Returns (N, C, H, W) f32 — each channel's user-facing map with the
+    x2 polyphase interleave done IN the kernel, so the separate XLA
+    relayout per map (~0.55 ms/map at b32 640x480) never runs. Channel
+    stays MAJOR: per-channel consumption is a free slice.
+    """
+    from emsanet_tpu.ops.polyphase_upsample import polyphase_kernels
+
+    if interpret is False and jax.default_backend() != "tpu":
+        interpret = True
+    n, h2, w2, c = x.shape
+    assert len(encodings) == c, (encodings, c)
+    xt = jnp.transpose(x, (0, 1, 3, 2))  # (N, H2, C, W2)
+    wp = -(-w2 // 128) * 128
+    cp = -(-c // 8) * 8
+    if wp != w2 or cp != c:
+        xt = jnp.pad(
+            xt, ((0, 0), (0, 0), (0, cp - c), (0, wp - w2))
+        )
+    kp = polyphase_kernels(kernel)  # (3, 3, 1, 4C) c-major
+    kp = kp.reshape(9, c, 4).astype(x.dtype).astype(jnp.float32)
+    kp = jnp.transpose(kp, (0, 2, 1))  # (9, 4, C)
+    if cp != c:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cp - c)))
+    kp = kp[..., None]  # (9, 4, Cp, 1)
+    encodings = tuple(encodings) + (ENC_IDENTITY,) * (cp - c)
+
+    if tile_h is None:
+        tile_h = _pick_tile(
+            h2, wp, cp, jnp.dtype(x.dtype).itemsize, interleaved=True
+        )
+    tiles = h2 // tile_h
+    r = tile_h + 2
+    padded = r > h2
+    if padded:
+        xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    # interleaved valid columns 0..2*w2-1 are contiguous (both parities
+    # of any padded column x >= w2 land at >= 2*w2); emit exactly 2*w2
+    # when lane-aligned, else the full 2*wp and slice outside
+    w_out = 2 * w2 if (2 * w2) % 128 == 0 else 2 * wp
+
+    kern = functools.partial(
+        _head_kernel,
+        tile_h=tile_h,
+        tiles_per_image=tiles,
+        img_h=h2,
+        encodings=tuple(encodings),
+        n_out=c,
+        padded=padded,
+        interleave_out=True,
+    )
+    full = pl.pallas_call(
+        kern,
+        grid=(n * tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, 2 * tile_h, w_out),
+            lambda i: (i // tiles, 0, i % tiles, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c, 2 * h2, w_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, r, cp, wp), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xt, kp)
+    return full[..., : 2 * w2]
+
+
+def interleave_all_channels(planes: jnp.ndarray) -> jnp.ndarray:
+    """(N, C, 4, H/2, W/2) parity planes -> (N, C, H, W) in ONE transpose.
+
+    XLA alternative to C separate `interleave_channel` calls: one big
+    relayout amortizes the per-op fixed overhead; per-channel maps are
+    then free major-axis slices.
+    """
+    n, c, _, h2, w2 = planes.shape
+    a = planes.reshape(n, c, 2, 2, h2, w2)
+    a = jnp.transpose(a, (0, 1, 4, 2, 5, 3))
+    return a.reshape(n, c, 2 * h2, 2 * w2)
 
 
 def interleave_channel(planes: jnp.ndarray, ch: int) -> jnp.ndarray:

@@ -126,6 +126,7 @@ def _decode_kernel(
     img_h: int,
     n_classes: int,
     padded: bool,
+    interleave_out: bool = False,
 ):
     r = tile_h + 2
     step = pl.program_id(0)
@@ -207,6 +208,7 @@ def _decode_kernel(
         ch_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
         class_mask = ch_ids < n_classes
 
+    idxs, scores = [], []
     for p in range(4):
         # round through the compute dtype: the interleave/legacy paths
         # argmax the conv output in the compute dtype (bf16 on TPU), so
@@ -218,8 +220,30 @@ def _decode_kernel(
         idx = jnp.argmax(own, axis=1).astype(jnp.int32)  # (TILE, W2)
         mx = jnp.max(own, axis=1)
         sumexp = jnp.sum(jnp.exp(own - mx[:, None, :]), axis=1)
-        idx_ref[0, p] = idx
-        score_ref[0, p] = 1.0 / sumexp
+        if interleave_out:
+            idxs.append(idx)
+            scores.append(1.0 / sumexp)
+        else:
+            idx_ref[0, p] = idx
+            score_ref[0, p] = 1.0 / sumexp
+
+    if interleave_out:
+        # full-res interleaved write: out[2y+p, 2x+q] = plane[p*2+q][y, x]
+        # (columns via the minor-axis memory trick, rows via the
+        # leading-dim stack+reshape — ops/decoder_trunk.py pattern)
+        wp_ = idxs[0].shape[-1]
+        w_out = idx_ref.shape[-1]
+
+        def weave(ms):
+            r0 = jnp.stack([ms[0], ms[1]], axis=-1).reshape(
+                tile_h, 2 * wp_)
+            r1 = jnp.stack([ms[2], ms[3]], axis=-1).reshape(
+                tile_h, 2 * wp_)
+            return jnp.stack([r0, r1], axis=1).reshape(
+                2 * tile_h, 2 * wp_)[:, :w_out]
+
+        idx_ref[0] = weave(idxs)
+        score_ref[0] = weave(scores)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
@@ -315,6 +339,93 @@ def semantic_decode_fused_planes(
     )(xt, kp)
 
     return idx4[..., :w2], score4[..., :w2]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def semantic_decode_fused_interleaved(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    interpret: bool = False,
+    tile_h: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like `semantic_decode_fused` but interleaves IN the kernel.
+
+    Returns full-res (idx (N, H, W) int32, score (N, H, W) f32) with
+    the x2 polyphase interleave done in VMEM at the output write — the
+    two XLA relayouts (~0.55 ms each per f32 map at b32 640x480) never
+    run.
+    """
+    from emsanet_tpu.ops.polyphase_upsample import polyphase_kernels
+
+    if interpret is False and jax.default_backend() != "tpu":
+        interpret = True
+    n, h2, w2, c = x.shape
+    xt = jnp.transpose(x, (0, 1, 3, 2))  # (N, H2, C, W2)
+    wp = -(-w2 // 128) * 128
+    cp = -(-c // 8) * 8
+    if wp != w2 or cp != c:
+        xt = jnp.pad(
+            xt, ((0, 0), (0, 0), (0, cp - c), (0, wp - w2))
+        )
+    kp = polyphase_kernels(kernel)  # (3, 3, 1, 4C) c-major c*4+p
+    kp = kp.reshape(9, c, 4).astype(x.dtype).astype(jnp.float32)
+    kp = jnp.transpose(kp, (0, 2, 1))  # (9, 4, C)
+    if cp != c:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cp - c)))
+    kp = kp[..., None]  # (9, 4, Cp, 1)
+
+    if tile_h is None:
+        tile_h = _pick_tile(h2, wp, cp, jnp.dtype(x.dtype).itemsize)
+    tiles = h2 // tile_h
+    r = tile_h + 2
+    padded = r > h2
+    if padded:
+        xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    # interleaved valid columns 0..2*w2-1 are contiguous; emit exactly
+    # 2*w2 when lane-aligned, else 2*wp and slice outside
+    w_out = 2 * w2 if (2 * w2) % 128 == 0 else 2 * wp
+
+    kern = functools.partial(
+        _decode_kernel,
+        tile_h=tile_h,
+        tiles_per_image=tiles,
+        img_h=h2,
+        n_classes=c,
+        padded=padded,
+        interleave_out=True,
+    )
+    idx, score = pl.pallas_call(
+        kern,
+        grid=(n * tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 2 * tile_h, w_out),
+                lambda i: (i // tiles, i % tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * tile_h, w_out),
+                lambda i: (i // tiles, i % tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 2 * h2, w_out), jnp.int32),
+            jax.ShapeDtypeStruct((n, 2 * h2, w_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, r, cp, wp), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xt, kp)
+
+    return idx[..., : 2 * w2], score[..., : 2 * w2]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))

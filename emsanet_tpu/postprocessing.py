@@ -44,6 +44,21 @@ VOID_LABEL = 0
 # a knob so the A/B stays reproducible.
 _BATCHED_INTERLEAVE = False
 
+# trace-time A/B knob for the 'decode'-mode instance-head final maps
+# (tools/map_interleave_ab.py):
+#   'per-channel' — C separate XLA relayouts (the round-3 baseline),
+#   'batched'     — ONE all-channel transpose (planes are already
+#                   stacked, so unlike _BATCHED_INTERLEAVE above there
+#                   is no extra stack copy),
+#   'kernel'      — the head kernel emits full-res interleaved maps
+#                   (ops/instance_head.instance_head_upsample_interleaved).
+_INSTANCE_MAP_INTERLEAVE = "per-channel"
+
+# companion knob for the 'decode'-mode semantic idx/score maps:
+#   'xla'    — kernel emits parity planes, XLA interleaves (baseline)
+#   'kernel' — semantic_decode_fused_interleaved writes full-res directly
+_SEMANTIC_MAP_INTERLEAVE = "xla"
+
 
 # ---------------------------------------------------------------------------
 # semantic
@@ -778,11 +793,22 @@ def postprocess(
             # ops/semantic_decode.py), jnp conv oracle elsewhere
             di = outputs["semantic"]["decode_input"]
             if jax.default_backend() == "tpu":
-                from emsanet_tpu.ops.semantic_decode import (
-                    semantic_decode_fused,
-                )
+                if _SEMANTIC_MAP_INTERLEAVE == "kernel":
+                    from emsanet_tpu.ops.semantic_decode import (
+                        semantic_decode_fused_interleaved,
+                    )
 
-                idx, score = semantic_decode_fused(di["x"], di["kernel"])
+                    idx, score = semantic_decode_fused_interleaved(
+                        di["x"], di["kernel"]
+                    )
+                else:
+                    from emsanet_tpu.ops.semantic_decode import (
+                        semantic_decode_fused,
+                    )
+
+                    idx, score = semantic_decode_fused(
+                        di["x"], di["kernel"]
+                    )
             else:
                 from emsanet_tpu.ops.semantic_decode import (
                     semantic_decode_reference,
@@ -813,7 +839,9 @@ def postprocess(
         from emsanet_tpu.ops.instance_head import (
             encodings_for,
             instance_head_upsample,
+            instance_head_upsample_interleaved,
             instance_head_upsample_reference,
+            interleave_all_channels,
             interleave_channel,
         )
 
@@ -821,13 +849,26 @@ def postprocess(
             c_head, cfg.instance_sigmoid_for_center,
             cfg.instance_tanh_for_offset,
         )
-        if jax.default_backend() == "tpu":
-            planes = instance_head_upsample(di["x"], di["kernel"], enc)
-        else:
-            planes = instance_head_upsample_reference(
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and _INSTANCE_MAP_INTERLEAVE == "kernel":
+            full = instance_head_upsample_interleaved(
                 di["x"], di["kernel"], enc
             )
-        maps = [interleave_channel(planes, ch) for ch in range(c_head)]
+            maps = [full[:, ch] for ch in range(c_head)]
+        else:
+            if on_tpu:
+                planes = instance_head_upsample(di["x"], di["kernel"], enc)
+            else:
+                planes = instance_head_upsample_reference(
+                    di["x"], di["kernel"], enc
+                )
+            if _INSTANCE_MAP_INTERLEAVE == "batched":
+                full = interleave_all_channels(planes)
+                maps = [full[:, ch] for ch in range(c_head)]
+            else:
+                maps = [
+                    interleave_channel(planes, ch) for ch in range(c_head)
+                ]
         inst_decoded: Dict[str, Any] = {
             "center": maps[0][..., None],
             "offset": jnp.stack(maps[1:3], axis=-1),

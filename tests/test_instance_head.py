@@ -82,3 +82,46 @@ def test_explicit_tiles():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
         )
+
+
+@pytest.mark.parametrize(
+    "n,h2,w2,c,enc",
+    [
+        (2, 16, 24, 5, encodings_for(5, True, True)),
+        (1, 8, 8, 3, encodings_for(3, True, True)),
+        (1, 2, 8, 4, (0, 0, 0, 0)),  # padded fallback
+    ],
+)
+def test_interleaved_variant_matches_reference(n, h2, w2, c, enc):
+    from emsanet_tpu.ops.instance_head import (
+        instance_head_upsample_interleaved,
+    )
+
+    rng = np.random.RandomState(n * 17 + h2 + w2 + c)
+    x = jnp.asarray(rng.randn(n, h2, w2, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, c), jnp.float32)
+
+    got = instance_head_upsample_interleaved(x, k, encodings=enc)
+    planes = instance_head_upsample_reference(x, k, encodings=enc)
+    assert got.shape == (n, c, 2 * h2, 2 * w2)
+    for ch in range(c):
+        np.testing.assert_allclose(
+            np.asarray(got[:, ch]),
+            np.asarray(interleave_channel(planes, ch)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_interleave_all_channels_matches_per_channel():
+    from emsanet_tpu.ops.instance_head import interleave_all_channels
+
+    rng = np.random.RandomState(11)
+    planes = jnp.asarray(rng.randn(2, 5, 4, 6, 8), jnp.float32)
+    full = interleave_all_channels(planes)
+    assert full.shape == (2, 5, 12, 16)
+    for ch in range(5):
+        np.testing.assert_allclose(
+            np.asarray(full[:, ch]),
+            np.asarray(interleave_channel(planes, ch)),
+            rtol=0, atol=0,
+        )

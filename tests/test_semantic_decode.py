@@ -103,3 +103,29 @@ def test_fused_decode_non_8_aligned_classes(c):
         np.asarray(score), np.asarray(rscore, np.float32),
         rtol=1e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize(
+    "n,h2,w2,c",
+    [
+        (2, 16, 24, 37),
+        (1, 8, 8, 3),
+        (1, 2, 8, 8),  # padded fallback
+    ],
+)
+def test_interleaved_variant_matches_fused(n, h2, w2, c):
+    from emsanet_tpu.ops.semantic_decode import (
+        semantic_decode_fused_interleaved,
+    )
+
+    rng = np.random.RandomState(n * 13 + h2 + w2 + c)
+    x = jnp.asarray(rng.randn(n, h2, w2, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 1, c), jnp.float32)
+
+    idx, score = semantic_decode_fused_interleaved(x, k)
+    ridx, rscore = semantic_decode_fused(x, k)
+    assert idx.shape == (n, 2 * h2, 2 * w2)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(rscore), rtol=1e-6, atol=1e-6
+    )
