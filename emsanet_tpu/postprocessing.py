@@ -59,6 +59,10 @@ _INSTANCE_MAP_INTERLEAVE = "per-channel"
 #   'kernel' — semantic_decode_fused_interleaved writes full-res directly
 _SEMANTIC_MAP_INTERLEAVE = "xla"
 
+# decode-planes final maps: weave all f32/i32 maps in ONE Pallas launch
+# (ops/plane_interleave.py) instead of one XLA relayout per map
+_PLANE_INTERLEAVE_PALLAS = False
+
 
 # ---------------------------------------------------------------------------
 # semantic
@@ -328,6 +332,12 @@ def interleave_planes_batched(
     bitcast int32 (bit-exact), bool/other dtypes round-trip through a
     cast. Exactness locked by tests/test_postproc_planes.py.
     """
+    if _PLANE_INTERLEAVE_PALLAS and jax.default_backend() == "tpu":
+        from emsanet_tpu.ops.plane_interleave import (
+            interleave_planes_pallas,
+        )
+
+        return interleave_planes_pallas(named)
     if not _BATCHED_INTERLEAVE:  # trace-time A/B knob (tools/decode_ab.py)
         return {name: interleave_plane(x) for name, x in named.items()}
     packed, metas = [], []

@@ -145,6 +145,49 @@ def main():
     postprocessing._INSTANCE_MAP_INTERLEAVE = "per-channel"
     postprocessing._SEMANTIC_MAP_INTERLEAVE = "xla"
 
+    # --- decode-planes final-map weave: XLA per-map vs Pallas batched ---
+    for b in args.batches:
+        cfg = EMSANetConfig(
+            model=ModelConfig(
+                tasks=("semantic", "instance", "orientation", "scene"),
+                enable_panoptic=True,
+                input_height=480, input_width=640,
+                compute_dtype="bfloat16",
+                fused_inference=True,
+                head_decode_fusion="decode-planes",
+            ),
+            data=DataConfig(dataset="synthetic"),
+        ).validate()
+        ds = get_dataset_config(cfg.data)
+        model = EMSANet(cfg=cfg.model, dataset_config=ds)
+        variables = init_model(model, jax.random.PRNGKey(0))
+        is_thing = jnp.asarray(ds.semantic_label_list.classes_is_thing)
+        rng = np.random.RandomState(0)
+        rgb = jnp.asarray(rng.randn(b, 480, 640, 3), jnp.float32)
+        depth = jnp.asarray(rng.randn(b, 480, 640, 1), jnp.float32)
+        p, s = variables["params"], variables.get("batch_stats")
+
+        times = {}
+        for pallas_weave in (False, True):
+            postprocessing._PLANE_INTERLEAVE_PALLAS = pallas_weave
+
+            @jax.jit
+            def e2e(p, s, r, d):
+                out = model.apply(
+                    {"params": p, "batch_stats": s},
+                    {"rgb": r, "depth": d}, train=False)
+                return scalar(
+                    postprocessing.postprocess(out, is_thing, cfg.model))
+
+            te = probe(e2e, p, s, rgb, depth, runs=args.runs)
+            times[pallas_weave] = te
+            print(f"b{b} [decode-planes] pallas_weave={pallas_weave}: "
+                  f"e2e {te*1e3:7.2f} ms ({b/te:.1f} fps)", flush=True)
+        print(f"b{b} delta pallas-weave vs xla: "
+              f"{100*(times[False]-times[True])/times[False]:+.1f}%",
+              flush=True)
+    postprocessing._PLANE_INTERLEAVE_PALLAS = False
+
 
 if __name__ == "__main__":
     main()
