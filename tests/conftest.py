@@ -46,3 +46,20 @@ def rng():
 def small_shape():
     # small spatial size, still divisible by 32 (encoder downsampling)
     return 64, 96
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full suite; default skips them "
+        "to keep a dev run under ~20 min on this 1-core box)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
