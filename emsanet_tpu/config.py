@@ -307,6 +307,11 @@ class DataConfig:
     raw_depth: bool = False  # args.py:836 ('--raw-depth')
     aug_scale_min: float = 1.0  # args.py:843
     aug_scale_max: float = 1.4  # args.py:849
+    # TPU-repo extension: drop HSV jitter + random flip from the train
+    # pipeline (with aug_scale_min==max==1.0 this makes training views
+    # identical to eval views — required for overfit-to-convergence
+    # proofs where augs smear the memorization target).
+    disable_color_flip_aug: bool = False
     batch_size: int = 8  # args.py:657
     validation_batch_size: Optional[int] = None  # defaults to 3*batch_size
     n_workers: int = 8  # args.py:861

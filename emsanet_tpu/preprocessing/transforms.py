@@ -727,9 +727,12 @@ def get_preprocessor(
         transforms.extend([
             RandomResize(d.aug_scale_min, d.aug_scale_max),
             RandomCrop(m.input_height, m.input_width),
-            RandomHSVJitter(),
-            RandomHorizontalFlip(0.5),
         ])
+        if not d.disable_color_flip_aug:
+            transforms.extend([
+                RandomHSVJitter(),
+                RandomHorizontalFlip(0.5),
+            ])
     else:
         if "semantic" in m.tasks and has_instance:
             transforms.append(PanopticTargetGenerator(sample_is_thing))

@@ -272,6 +272,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "the unified indoor-domestic set (reference args.py:834)")
     g.add_argument("--aug-scale-min", type=float, default=1.0)
     g.add_argument("--aug-scale-max", type=float, default=1.4)
+    g.add_argument("--no-color-flip-aug", dest="disable_color_flip_aug",
+                   action="store_true", default=False,
+                   help="drop HSV jitter + random horizontal flip from "
+                   "the train pipeline (TPU-repo extension; with "
+                   "--aug-scale-min/max 1.0 training views equal eval "
+                   "views, for overfit-to-convergence proofs)")
     g.add_argument("--n-workers", type=int, default=8)
     g.add_argument("--worker-mode", default="thread",
                    choices=("thread", "process"),
