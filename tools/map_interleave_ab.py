@@ -82,7 +82,14 @@ def main():
     ap.add_argument("--batches", type=int, nargs="*", default=[32, 1])
     ap.add_argument("--runs", type=int, default=60)
     ap.add_argument("--skip-standalone", action="store_true")
+    ap.add_argument("--sections", default="decode,planes",
+                    help="comma list of A/B sections to run: 'decode' "
+                    "(the 4 interleave combos in decode mode) and/or "
+                    "'planes' (the decode-planes Pallas weave) — remote "
+                    "compiles are 1-10 min each, so trim per deployment "
+                    "(b1 deploys decode-planes, b32 deploys decode)")
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
     from emsanet_tpu import postprocessing
@@ -94,7 +101,7 @@ def main():
         for b in args.batches:
             standalone(b, args.runs)
 
-    for b in args.batches:
+    for b in args.batches if "decode" in sections else []:
         cfg = EMSANetConfig(
             model=ModelConfig(
                 tasks=("semantic", "instance", "orientation", "scene"),
@@ -146,7 +153,7 @@ def main():
     postprocessing._SEMANTIC_MAP_INTERLEAVE = "xla"
 
     # --- decode-planes final-map weave: XLA per-map vs Pallas batched ---
-    for b in args.batches:
+    for b in args.batches if "planes" in sections else []:
         cfg = EMSANetConfig(
             model=ModelConfig(
                 tasks=("semantic", "instance", "orientation", "scene"),
