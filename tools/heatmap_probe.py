@@ -44,6 +44,9 @@ def main():
 
     with open(os.path.join(args.run_dir, "args.json")) as fh:
         cfg = EMSANetConfig.from_json(fh.read())
+    # plain (unfused) head path so outputs carry real center/offset maps
+    cfg.model.fused_inference = False
+    cfg.model.head_decode_fusion = "interleave"
 
     ckpt = args.ckpt
     if ckpt is None:
