@@ -209,6 +209,44 @@ def _nms_keep_mask_planes(hm: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     return hm >= pooled
 
 
+def _suppress_duplicate_centers(
+    yx: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: int,
+) -> jnp.ndarray:
+    """Drop tied-plateau duplicate centers after top-k (bf16 tie-break).
+
+    The maxpool-equality NMS (`x >= maxpool_k(x)`) keeps EVERY pixel of
+    an equal-valued plateau. In f32 (the reference's torch pipeline,
+    nicr_mt_scene_analysis M6) exact ties essentially never happen; in
+    this bf16 inference pipeline a smooth learned bump quantizes to a
+    flat plateau (ulp ~2^-9 near 0.5), and a single instance can emit
+    dozens of tied centers a few px apart which shatter it into
+    sub-IoU-0.5 fragments (measured: 49 and 55 "instances" on two
+    overfit images, instance RQ 0.29 vs 0.90 panoptic).
+
+    Two NON-tied kept centers can never lie within the maxpool radius of
+    each other (each would have suppressed the other), so removing any
+    center with a higher-ranked candidate within Chebyshev `radius` is
+    exactly a tie-break: a no-op on tie-free inputs. top_k sorts scores
+    descending (ties by flat index), so rank order == priority order.
+    Chained suppression (relative to ANY earlier candidate, kept or
+    dropped) deliberately collapses plateaus wider than `radius` into
+    one center; chains cannot bridge distinct bumps because the dip
+    between them never enters the top-k list.
+    """
+    y = yx[..., 0]
+    x = yx[..., 1]
+    close = (
+        (jnp.abs(y[:, :, None] - y[:, None, :]) <= radius)
+        & (jnp.abs(x[:, :, None] - x[:, None, :]) <= radius)
+    )  # (N, K, K): [n, j, i] -> candidate j near candidate i
+    k = yx.shape[1]
+    earlier = jnp.tril(jnp.ones((k, k), bool), -1)  # i < j (higher rank)
+    dup = jnp.any(close & earlier[None] & valid[:, None, :], axis=-1)
+    return valid & ~dup
+
+
 def find_instance_centers_planes(
     heatmap_planes: jnp.ndarray,
     threshold: float = 0.1,
@@ -238,6 +276,7 @@ def find_instance_centers_planes(
     ys = 2 * (rem // w2) + par // 2
     xs = 2 * (rem % w2) + par % 2
     yx = jnp.stack([ys.astype(jnp.int32), xs.astype(jnp.int32)], axis=-1)
+    valid = _suppress_duplicate_centers(yx, valid, nms_kernel_size // 2)
     return {"yx": yx, "scores": scores, "valid": valid}
 
 
@@ -408,6 +447,7 @@ def find_instance_centers(
     ys = (flat_idx // w).astype(jnp.int32)
     xs = (flat_idx % w).astype(jnp.int32)
     yx = jnp.stack([ys, xs], axis=-1)
+    valid = _suppress_duplicate_centers(yx, valid, nms_kernel_size // 2)
     return {"yx": yx, "scores": scores, "valid": valid}
 
 

@@ -53,6 +53,31 @@ def test_find_centers_two_peaks():
     assert (yx[1] == [24, 20]).all() and scores[1] == pytest.approx(0.7)
 
 
+def test_find_centers_tied_plateau_collapses_to_one():
+    """bf16 tie-break lock (round-5): maxpool-equality NMS keeps every
+    pixel of an equal-valued plateau, and a bf16-quantized bump can
+    plateau for dozens of px — one overfit instance shattered into 49
+    tied "centers" (CLAUDE.md round-5 notes). The post-top-k duplicate
+    suppression must collapse a plateau (even wider than the NMS
+    kernel) to ONE center while leaving distinct peaks alone.
+    """
+    hm = np.zeros((1, 64, 64), np.float32)
+    hm[0, 10:31, 8:25] = 0.5  # 21x17 flat plateau, wider than kernel 7
+    hm[0, 50, 50] = 0.9  # distinct peak far away
+    out = find_instance_centers(
+        jnp.asarray(hm), threshold=0.1, nms_kernel_size=7, top_k=64
+    )
+    valid = np.asarray(out["valid"][0])
+    yx = np.asarray(out["yx"][0])
+    assert valid.sum() == 2, (valid.sum(), yx[valid])
+    kept = yx[valid]
+    assert ([50, 50] == kept).all(axis=-1).any()
+    in_plateau = [
+        (10 <= y <= 30 and 8 <= x <= 24) for y, x in kept.tolist()
+    ]
+    assert sum(in_plateau) == 1, kept
+
+
 def test_grouping_assigns_nearest_voted_center():
     h = w = 16
     centers = jnp.asarray([[[4, 4], [12, 12], [0, 0], [0, 0]]], jnp.float32)

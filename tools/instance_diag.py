@@ -104,6 +104,9 @@ def main():
             cyx = np.asarray(preds["instance_centers_yx"])
             cscore = np.asarray(preds["instance_centers_score"])
             cvalid = np.asarray(preds["instance_centers_valid"])
+            inst_gtfg = np.asarray(
+                preds.get("instance_segmentation_gt_foreground",
+                          np.zeros(pred_pan.shape, np.int32)))
 
             for i in range(pred_pan.shape[0]):
                 p = pred_pan[i].astype(np.int64)
@@ -154,9 +157,16 @@ def main():
                     and pid % div != 0
                 )
                 fails = [r for r in rows if r[3] != "TP"]
+                gids, gareas = np.unique(inst_gtfg[i], return_counts=True)
+                gseg = [(int(a), int(g)) for g, a in zip(gids, gareas)
+                        if g != 0]
                 print(f"img b{bi}.{i}: {len(rows)} GT things, "
                       f"{n_pred_things} pred things, "
-                      f"{len(rows) - len(fails)} TP", flush=True)
+                      f"{len(rows) - len(fails)} TP, "
+                      f"{int(cvalid[i].sum())} valid centers, "
+                      f"{len(gseg)} gt-fg segs "
+                      f"(areas {sorted((a for a, _ in gseg), reverse=True)[:8]})",
+                      flush=True)
                 for r in sorted(rows, key=lambda r: r[2]):
                     tid, cls, area, kind = r[0], r[1], r[2], r[3]
                     extra = r[4]
