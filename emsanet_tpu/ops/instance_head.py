@@ -205,21 +205,18 @@ def _head_kernel(
         encs.append(enc)
 
     if interleave_out:
-        # full-res interleaved write: out[ch, 2y+p, 2x+q] = enc[p*2+q][y, x].
-        # Columns via the minor-axis memory trick ((W, 2) == (2W,) row-
-        # major), rows via the leading-dim stack+reshape the decoder
-        # megakernel proved lowers in Mosaic (ops/decoder_trunk.py::
-        # _rows_interleave).
-        wp = encs[0].shape[-1]
+        # full-res interleaved write: out[ch, 2y+p, 2x+q] = enc[p*2+q][y, x]
+        # (lowering-safe weaves — the naive minor-axis stack+reshape
+        # column weave fails real Mosaic lowering, see plane_interleave)
+        from emsanet_tpu.ops.plane_interleave import (
+            col_weave_2d, row_weave_2d,
+        )
+
         w_out = out_ref.shape[-1]
         for ch in range(n_out):
-            r0 = jnp.stack(
-                [encs[0][:, ch, :], encs[1][:, ch, :]], axis=-1
-            ).reshape(tile_h, 2 * wp)
-            r1 = jnp.stack(
-                [encs[2][:, ch, :], encs[3][:, ch, :]], axis=-1
-            ).reshape(tile_h, 2 * wp)
-            full = jnp.stack([r0, r1], axis=1).reshape(2 * tile_h, 2 * wp)
+            r0 = col_weave_2d(encs[0][:, ch, :], encs[1][:, ch, :])
+            r1 = col_weave_2d(encs[2][:, ch, :], encs[3][:, ch, :])
+            full = row_weave_2d(r0, r1)
             out_ref[0, ch] = full[:, :w_out]
     else:
         # per-channel writes: channel is a MAJOR output dim, so the

@@ -44,19 +44,35 @@ def _pick_tile(h2: int, w2: int, n_maps: int) -> int:
     return 1
 
 
+def col_weave_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(H, W), (H, W) -> (H, 2W) with out[:, 2j] = a[:, j], odd = b.
+
+    The direct `stack(axis=-1).reshape(h, 2w)` form passes interpret
+    mode but FAILS real Mosaic lowering ("infer-vector-layout:
+    unsupported shape cast" on vector<HxWx2> -> vector<Hx2W>). The
+    transpose form lowers (tools/weave_lowering_probe.py): in
+    transposed space a column weave is a leading-dim row weave, which
+    Mosaic accepts.
+    """
+    h, w = a.shape
+    t = jnp.stack([a.T, b.T], axis=1).reshape(2 * w, h)
+    return t.T
+
+
+def row_weave_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(H, W), (H, W) -> (2H, W) with out[2i] = a[i], out[2i+1] = b[i]."""
+    h, w = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
+
+
 def _interleave_kernel(*refs, tile_h: int, n_maps: int):
     ins, outs = refs[:n_maps], refs[n_maps:]
     for i in range(n_maps):
         x = ins[i][0]  # (4, tile, W2)
-        w2 = x.shape[-1]
-        # out[2y+p, 2x+q] = x[p*2+q, y, x]: columns via the minor-axis
-        # memory trick ((W2, 2) == (2*W2,) row-major), rows via the
-        # leading-dim stack+reshape
-        r0 = jnp.stack([x[0], x[1]], axis=-1).reshape(tile_h, 2 * w2)
-        r1 = jnp.stack([x[2], x[3]], axis=-1).reshape(tile_h, 2 * w2)
-        outs[i][0] = jnp.stack([r0, r1], axis=1).reshape(
-            2 * tile_h, 2 * w2
-        )
+        # out[2y+p, 2x+q] = x[p*2+q, y, x]
+        r0 = col_weave_2d(x[0], x[1])
+        r1 = col_weave_2d(x[2], x[3])
+        outs[i][0] = row_weave_2d(r0, r1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

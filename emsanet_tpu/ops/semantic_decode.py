@@ -229,18 +229,18 @@ def _decode_kernel(
 
     if interleave_out:
         # full-res interleaved write: out[2y+p, 2x+q] = plane[p*2+q][y, x]
-        # (columns via the minor-axis memory trick, rows via the
-        # leading-dim stack+reshape — ops/decoder_trunk.py pattern)
-        wp_ = idxs[0].shape[-1]
+        # (lowering-safe weaves — the naive minor-axis stack+reshape
+        # column weave fails real Mosaic lowering, see plane_interleave)
+        from emsanet_tpu.ops.plane_interleave import (
+            col_weave_2d, row_weave_2d,
+        )
+
         w_out = idx_ref.shape[-1]
 
         def weave(ms):
-            r0 = jnp.stack([ms[0], ms[1]], axis=-1).reshape(
-                tile_h, 2 * wp_)
-            r1 = jnp.stack([ms[2], ms[3]], axis=-1).reshape(
-                tile_h, 2 * wp_)
-            return jnp.stack([r0, r1], axis=1).reshape(
-                2 * tile_h, 2 * wp_)[:, :w_out]
+            r0 = col_weave_2d(ms[0], ms[1])
+            r1 = col_weave_2d(ms[2], ms[3])
+            return row_weave_2d(r0, r1)[:, :w_out]
 
         idx_ref[0] = weave(idxs)
         score_ref[0] = weave(scores)

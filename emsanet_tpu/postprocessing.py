@@ -52,16 +52,22 @@ _BATCHED_INTERLEAVE = False
 #                   is no extra stack copy),
 #   'kernel'      — the head kernel emits full-res interleaved maps
 #                   (ops/instance_head.instance_head_upsample_interleaved).
-_INSTANCE_MAP_INTERLEAVE = "per-channel"
+# Round-5 whole-graph A/B (one process, v5e): with sem='kernel' too,
+# e2e b1 6.41 -> 4.80 ms (+25.1%), b32 68.05 -> 67.09 (+1.4%); each
+# knob alone is a wash, the win needs both heads interleaving in-kernel.
+_INSTANCE_MAP_INTERLEAVE = "kernel"
 
 # companion knob for the 'decode'-mode semantic idx/score maps:
 #   'xla'    — kernel emits parity planes, XLA interleaves (baseline)
 #   'kernel' — semantic_decode_fused_interleaved writes full-res directly
-_SEMANTIC_MAP_INTERLEAVE = "xla"
+_SEMANTIC_MAP_INTERLEAVE = "kernel"
 
 # decode-planes final maps: weave all f32/i32 maps in ONE Pallas launch
-# (ops/plane_interleave.py) instead of one XLA relayout per map
-_PLANE_INTERLEAVE_PALLAS = False
+# (ops/plane_interleave.py) instead of one XLA relayout per map.
+# Round-5 whole-graph A/B: e2e b1 3.81 -> 2.70 ms (+29.1%), b32 68.74
+# -> 67.42 (+1.9%) — the per-map XLA relayouts were the dominant b1
+# postprocessing cost (tools/b1_stage_probe.py: 0.515 ms of 1.30).
+_PLANE_INTERLEAVE_PALLAS = True
 
 
 # ---------------------------------------------------------------------------
