@@ -228,12 +228,14 @@ class ModelConfig:
     # e2e +2.3%, b8 -4.3%, tools/trunk_ab.py); 'on' forces it
     # (tests/A-B tools); 'off' disables.
     decoder_megakernel: str = "auto"
-    # with fused_inference: run encoder stages 2-4 of BOTH backbones +
-    # the per-stage SE fusions as ONE Pallas call (ops/encoder_trunk.py)
-    # — the companion of the decoder megakernel for the b1 latency
-    # regime. Same 'auto'/'on'/'off' semantics and batch gate
-    # (ops.encoder_trunk.MAX_BATCH).
-    encoder_megakernel: str = "off"
+    # NOTE: an encoder stage-2..4 megakernel (both backbones + SE
+    # fusions as one Pallas call, ops/encoder_trunk.py) was built,
+    # parity-tested, measured a WASH at b1 in round 4 (95b5a4f) and a
+    # clear LOSS in the round-5 landscape (tools/trunk_ab.py auto+on vs
+    # auto+off: b1 fwd 2.01 -> 3.42 ms) — the kernel re-streams ~64 MB
+    # of weights per image while the XLA stage graph is already ~2 ms.
+    # Removed from the product package (round-5); recover from git
+    # history only with evidence the XLA encoder regressed.
     # NOTE: a packed dual-encoder (rgb+depth as ONE stream of
     # feature_group_count=2 grouped convs, halving encoder launches) was
     # built, exactness-tested, and MEASURED LOSING on v5e (e823278:
@@ -475,12 +477,6 @@ class EMSANetConfig:
                 "decoder_megakernel must be 'off', 'on' or 'auto', got "
                 f"'{m.decoder_megakernel}'"
             )
-        if m.encoder_megakernel not in ("off", "on", "auto"):
-            raise ValueError(
-                "encoder_megakernel must be 'off', 'on' or 'auto', got "
-                f"'{m.encoder_megakernel}'"
-            )
-
         # multiscale supervision forced off for decoders without side
         # outputs (args.py:1382-1398, decoders_with_ms = ('emsanet',))
         for task in ("semantic", "instance", "normal"):

@@ -192,9 +192,6 @@ class FusedEncoder(nn.Module):
             feats[fused_mod] = self.fusions[0](feats[fused_mod], feats[other_mod])
 
         for i in range(4):
-            if i == 1 and self._use_encoder_megakernel(feats, train):
-                return self._encoder_megakernel(
-                    feats, skips, skip_downscales)
             for mod in self.specs:
                 stage = getattr(self, f"{mod}_stages")[i]
                 # positional args: remat-wrapped stages need static_argnums
@@ -237,86 +234,3 @@ class FusedEncoder(nn.Module):
         c_total = sum(s[3] for s in shapes)
         return stem_kernel_supported(h, w, c_total)
 
-    def _use_encoder_megakernel(self, feats, train: bool) -> bool:
-        """Gate for the stage-2..4 megakernel (ops/encoder_trunk.py).
-
-        Engages only on the dual-modality flagship topology in the
-        latency regime (the kernel re-streams ~64 MB of weights per
-        image — same economics as the decoder trunk megakernel).
-        """
-        import jax
-
-        cfg = self.cfg
-        if train or cfg.encoder_megakernel == "off":
-            return False
-        if not cfg.fused_inference or self.is_initializing():
-            return False
-        if self._fuse_into is None or len(self.specs) != 2:
-            return False
-        if (
-            cfg.encoder_normalization != "batchnorm"
-            or cfg.activation != "relu"
-        ):
-            return False
-        specs = list(self.specs.values())
-        s0 = specs[0]
-        for s in specs[1:]:
-            if (
-                s.stage_blocks != s0.stage_blocks
-                or s.stage_features != s0.stage_features
-                or s.bottleneck != s0.bottleneck
-                or s.se != s0.se
-                or s.downsampling != s0.downsampling
-            ):
-                return False
-        if s0.bottleneck or s0.se or s0.downsampling != 32:
-            return False
-        for mod in self.specs:
-            if getattr(cfg, f"{mod}_encoder_backbone_block") \
-                    != "nonbottleneck1d":
-                return False
-        if not (
-            cfg.encoder_fusion.startswith("se-add-uni")
-            or cfg.encoder_fusion.startswith("add-uni")
-        ):
-            return False
-        on_tpu = jax.default_backend() == "tpu"
-        if cfg.encoder_megakernel == "auto" and not on_tpu:
-            return False
-        from emsanet_tpu.ops.encoder_trunk import encoder_trunk_supported
-
-        n, h4, w4, _ = feats[self._fuse_into].shape
-        return encoder_trunk_supported(
-            n, h4, w4,
-            s0.stage_features[1:], s0.stage_blocks[1:],
-            c_in=s0.stage_features[0],
-            max_batch=(n if cfg.encoder_megakernel == "on" else None),
-            allow_unaligned=not on_tpu,
-        )
-
-    def _encoder_megakernel(self, feats, skips, skip_downscales):
-        """Run stages 2-4 + fusions as one Pallas call and assemble the
-        (feats, skips) contract."""
-        from emsanet_tpu.ops.encoder_trunk import (
-            encoder_trunk,
-            stack_encoder_params,
-        )
-
-        fused_mod = self._fuse_into
-        other_mod = "depth" if fused_mod == "rgb" else "rgb"
-        spec = self.specs[fused_mod]
-        use_se = self.cfg.encoder_fusion.startswith("se-")
-        v = self.variables
-        per_stage = stack_encoder_params(
-            v["params"], v["batch_stats"],
-            (fused_mod, other_mod), spec.stage_blocks[1:], use_se,
-        )
-        outs = encoder_trunk(
-            feats[fused_mod], feats[other_mod], per_stage, use_se=use_se,
-        )
-        for j, ds in enumerate((8, 16, 32)):
-            main_o, other_o = outs[j]
-            if ds in skip_downscales:
-                skips[ds] = {fused_mod: main_o, other_mod: other_o}
-        final = {fused_mod: outs[-1][0], other_mod: outs[-1][1]}
-        return final, skips

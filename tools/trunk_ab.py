@@ -37,7 +37,7 @@ def probe(fn, *args, runs=60):
     return t
 
 
-def build(batch, megakernel, decode_fusion, encoder_megakernel="off"):
+def build(batch, megakernel, decode_fusion):
     from emsanet_tpu.config import DataConfig, EMSANetConfig, ModelConfig
     from emsanet_tpu.datasets.registry import get_dataset_config
     from emsanet_tpu.models import EMSANet, init_model
@@ -50,7 +50,6 @@ def build(batch, megakernel, decode_fusion, encoder_megakernel="off"):
             compute_dtype="bfloat16",
             fused_inference=True,
             decoder_megakernel=megakernel,
-            encoder_megakernel=encoder_megakernel,
             head_decode_fusion=decode_fusion,
         ),
         data=DataConfig(dataset="synthetic"),
@@ -72,24 +71,21 @@ def main():
     ap.add_argument("--force-mode", default=None,
                     help="override head_decode_fusion")
     ap.add_argument("--variants", nargs="*", default=None,
-                    help="dec+enc megakernel pairs, e.g. off+off on+on")
+                    help="decoder megakernel modes, e.g. off on auto")
     args = ap.parse_args()
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
     from emsanet_tpu.config import best_head_decode_fusion
     from emsanet_tpu.postprocessing import postprocess
 
-    variants = [
-        ("off", "off"), ("on", "off"), ("on", "on"), ("off", "on"),
-    ]
+    variants = ["off", "on"]
     if args.variants:
-        variants = [tuple(v.split("+")) for v in args.variants]
+        variants = list(args.variants)
     for b in args.batches:
         mode = args.force_mode or best_head_decode_fusion(b, True)
         results = {}
-        for mk, emk in variants:
-            cfg, model, var, is_thing, rgb, depth = build(
-                b, mk, mode, encoder_megakernel=emk)
+        for mk in variants:
+            cfg, model, var, is_thing, rgb, depth = build(b, mk, mode)
             p, s = var["params"], var.get("batch_stats")
 
             @jax.jit
@@ -107,8 +103,8 @@ def main():
 
             tf = probe(fwd, p, s, rgb, depth, runs=args.runs)
             te = probe(e2e, p, s, rgb, depth, runs=args.runs)
-            results[(mk, emk)] = (tf, te)
-            print(f"b{b} [{mode}] dec={mk} enc={emk}: "
+            results[mk] = (tf, te)
+            print(f"b{b} [{mode}] dec={mk}: "
                   f"fwd {tf*1e3:7.2f} ms   e2e {te*1e3:7.2f} ms "
                   f"({b/te:.1f} fps)", flush=True)
         base = variants[0]
